@@ -1,0 +1,55 @@
+"""Solver / run configuration.
+
+The reference splits configuration across compile-time macros
+(Makefile:1-20), runtime CLI flags (config.cpp:32-47) and the input.dat
+descriptor (io_enhanced.cpp:407-579). Here everything is one runtime
+dataclass; compile-time build variants of the reference become
+config-selected kernel variants of the same program (the *names* are kept
+so the harness/CSV schema lines up).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    # --- runtime flags (reference CLI: config.cpp:32-47) ---
+    input_file: str = ""
+    input_file_directory: str = ""
+    output_file_prefix: str = ""
+    mesh_duplicate_count: int = 1     # -m (weak scaling by replication)
+    num_cycles: int = 25              # -g (default 25: config.cpp:63)
+    validate_result: bool = False     # -v
+    output_variables: bool = False
+    output_fluxes: bool = False
+    output_step_factors: bool = False
+    output_volumes: bool = False
+    output_edge_fluxes: bool = False
+
+    # --- kernel variants (reference compile-time macros, same names) ---
+    flux_fission: bool = False        # FLUX_FISSION: per-edge store + update
+    flux_cripple: bool = False        # FLUX_CRIPPLE: memory-bound twin runs too
+    flux_precompute_edge_weights: bool = False  # FLUX_PRECOMPUTE_EDGE_WEIGHTS
+    flux_reuse_flux: bool = False     # FLUX_REUSE_FLUX (b-side = -a-side)
+    include_indirect_rw: bool = True  # reference always runs it in the RK loop
+
+    # --- TPU-specific policy (new; no reference counterpart) ---
+    dtype: str = "float32"            # float64 for validation, float32/bf16 perf
+    accumulate: str = "segment"       # 'segment' | 'scatter' | 'ell' | 'pallas'
+    check_invalid_every: int = 1      # host-side NaN-guard cadence (cycles)
+    num_partitions: int = 1           # SPMD shards (parallel/)
+    monitor_mode: str = "fused"       # 'fused' | 'instrumented'
+
+    def flux_options_string(self) -> str:
+        """CSV 'Flux options' field (io_enhanced.cpp:895-908 semantics)."""
+        s = ""
+        if self.flux_precompute_edge_weights:
+            s += "PrecomputeLength;"
+        if self.flux_reuse_flux:
+            s += "ReuseFluxes;"
+        return s
+
+    def flux_variant_string(self) -> str:
+        return "FluxCripple" if self.flux_cripple else "Normal"

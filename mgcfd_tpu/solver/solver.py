@@ -1,0 +1,279 @@
+"""Single-chip multigrid Euler solver.
+
+Control flow mirrors the reference driver's main loop
+(euler3d_cpu_double.cpp:371-694) — copy old state, step factor, 3-stage RK
+smoothing with internal/boundary/wall fluxes, residual + RMS, and the
+restrict-up / prolong-down V-cycle walk — but the whole V-cycle is ONE
+traced, jit-compiled function over a pytree of per-level arrays: XLA fuses
+the node-wise kernels into the gather/scatter stream, and there is no
+host round-trip inside a cycle.
+
+Visit order per cycle (L levels): 0,1,...,L-1 on the way up (restricting
+after each), then prolong/visit pairs down to level 0, which is only
+visited at the start of the next cycle — exactly the reference's walk
+(one visit per loop iteration, transition after; euler3d:514-693).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import SolverConfig
+from ..core.constants import RK, NVAR, far_field_state, MeshVariant
+from ..core.types import MultigridMesh
+from ..mesh.build import apply_ewt_conditioning
+from ..ops import (
+    internal_edge_flux, boundary_edge_flux, wall_edge_flux,
+    internal_edge_flux_crippled, indirect_rw_edge_values, accumulate_flux,
+    compute_step_factor, compute_step_factor_legacy, time_step,
+    mg_restrict, prolong_residuals_interpolate,
+    residual, calc_rms, invalid_variables_count,
+)
+
+
+@dataclasses.dataclass
+class DeviceLevel:
+    volumes: Any
+    coords: Optional[Any]
+    edge_a: Any
+    edge_b: Any
+    edge_w: Any
+    edge_ewt: Optional[Any]      # precomputed |edge_w| or None
+    bedge_b: Any
+    bedge_w: Any
+    wedge_b: Any
+    wedge_w: Any
+    mg_mapping: Optional[Any]
+    num_nodes: int
+
+
+@dataclasses.dataclass
+class DeviceMesh:
+    levels: list
+    variant: MeshVariant
+    ff_flux: Any                  # (3,5) far-field flux tensor
+    ff_q: Any                     # (5,) far-field state
+
+
+def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
+                        device=None) -> DeviceMesh:
+    """Condition edge weights per mesh variant (euler3d:333-352), optionally
+    precompute |e| (FLUX_PRECOMPUTE_EDGE_WEIGHTS, euler3d:354-362), cast to
+    the configured dtype and upload."""
+    dtype = jnp.dtype(config.dtype)
+    # conditioning mutates edge weights: work on copies
+    levels = [dataclasses.replace(l) for l in mesh.levels]
+    for l in levels:
+        l.edge_w = l.edge_w.copy()
+        l.bedge_w = l.bedge_w.copy()
+        l.wedge_w = l.wedge_w.copy()
+    apply_ewt_conditioning(levels, mesh.variant)
+
+    def put(x, dt=dtype):
+        arr = jnp.asarray(np.asarray(x), dtype=dt)
+        return jax.device_put(arr, device) if device is not None else arr
+
+    dlevels = []
+    for l in levels:
+        ewt = None
+        if config.flux_precompute_edge_weights:
+            ewt = put(np.sqrt((l.edge_w ** 2).sum(axis=1)))
+        dlevels.append(DeviceLevel(
+            volumes=put(l.volumes),
+            coords=None if l.coords is None else put(l.coords),
+            edge_a=put(l.edge_a, jnp.int32),
+            edge_b=put(l.edge_b, jnp.int32),
+            edge_w=put(l.edge_w),
+            edge_ewt=ewt,
+            bedge_b=put(l.bedge_b, jnp.int32),
+            bedge_w=put(l.bedge_w),
+            wedge_b=put(l.wedge_b, jnp.int32),
+            wedge_w=put(l.wedge_w),
+            mg_mapping=None if l.mg_mapping is None
+            else put(l.mg_mapping, jnp.int32),
+            num_nodes=l.num_nodes,
+        ))
+    ff_q, ff_flux = far_field_state(np.float64)
+    return DeviceMesh(levels=dlevels, variant=mesh.variant,
+                      ff_flux=put(ff_flux), ff_q=put(ff_q))
+
+
+# ---------------------------------------------------------------------------
+# kernels over one level
+# ---------------------------------------------------------------------------
+
+def _compute_fluxes(lvl: DeviceLevel, variables, ff_flux, config):
+    """One flux evaluation: internal + boundary + wall, accumulated."""
+    q_a = variables[lvl.edge_a]
+    q_b = variables[lvl.edge_b]
+    val_i = internal_edge_flux(q_a, q_b, lvl.edge_w, lvl.edge_ewt)
+    val_bd = boundary_edge_flux(variables[lvl.bedge_b], lvl.bedge_w)
+    val_w = wall_edge_flux(variables[lvl.wedge_b], lvl.wedge_w, ff_flux)
+    return accumulate_flux(
+        lvl.num_nodes, lvl.edge_a, lvl.edge_b, val_i,
+        lvl.bedge_b, val_bd, lvl.wedge_b, val_w,
+        mode=config.accumulate if config.accumulate in ("segment", "scatter")
+        else "segment")
+
+
+def _indirect_rw_token(lvl: DeviceLevel, variables, config):
+    """The data-movement-only twin (indirect_rw_loop.cpp): runs with the
+    same gather/scatter pattern; its node accumulation is reduced to one
+    scalar token so jit cannot dead-code it, and the solver discards the
+    values exactly like the reference's zero_fluxes (euler3d:491-505)."""
+    q_a = variables[lvl.edge_a]
+    q_b = variables[lvl.edge_b]
+    val_a, val_b = indirect_rw_edge_values(q_a, q_b, lvl.edge_w)
+    acc = accumulate_flux(lvl.num_nodes, lvl.edge_a, lvl.edge_b, val_a,
+                          mode="segment", val_internal_b=val_b)
+    return jnp.sum(acc)
+
+
+def _visit(lvl: DeviceLevel, variables, ff_flux, config,
+           legacy_step: bool):
+    """One smoothing pass on one level: returns (variables, old, residuals,
+    step_factors, invalid_count, rw_token). Reference inner loop:
+    euler3d_cpu_double.cpp:383-512."""
+    old = variables
+    if legacy_step:
+        sf = compute_step_factor_legacy(variables, lvl.volumes)
+    else:
+        sf = compute_step_factor(variables, lvl.volumes)
+
+    invalid = jnp.int32(0)
+    rw_token = jnp.zeros((), variables.dtype)
+    for j in range(RK):
+        if config.flux_cripple:
+            # crippled twin runs first; its writes are discarded
+            # (euler3d:399-418) — reduce to a token to keep it alive.
+            q_a = variables[lvl.edge_a]
+            q_b = variables[lvl.edge_b]
+            crippled = internal_edge_flux_crippled(q_a, q_b, lvl.edge_w)
+            rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
+                (), variables.dtype)
+        fluxes = _compute_fluxes(lvl, variables, ff_flux, config)
+        variables = time_step(j, sf, fluxes, old)
+        invalid = invalid + invalid_variables_count(variables)
+        if config.include_indirect_rw:
+            rw_token = rw_token + _indirect_rw_token(lvl, variables, config)
+
+    res = residual(old, variables)
+    return variables, old, res, sf, invalid, rw_token
+
+
+# ---------------------------------------------------------------------------
+# the V-cycle
+# ---------------------------------------------------------------------------
+
+def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
+    """Build the jit-compiled full-V-cycle step.
+
+    state: dict of per-level lists: variables, residuals.
+    Returns (state, rms_level0, invalid_total, rw_token)."""
+    L = len(dmesh.levels)
+    legacy = dmesh.variant.uses_legacy_step_factor
+    ff_flux = dmesh.ff_flux
+
+    def cycle(state):
+        variables = list(state["variables"])
+        residuals = list(state["residuals"])
+        invalid_total = jnp.int32(0)
+        rw_token = jnp.zeros((), variables[0].dtype)
+
+        def do_visit(l):
+            nonlocal invalid_total, rw_token
+            v, old, res, sf, inv, tok = _visit(
+                dmesh.levels[l], variables[l], ff_flux, config, legacy)
+            variables[l] = v
+            residuals[l] = res
+            invalid_total = invalid_total + inv
+            rw_token = rw_token + tok
+            return res
+
+        # --- up sweep ---
+        rms = None
+        for l in range(L - 1):
+            res = do_visit(l)
+            if l == 0:
+                rms = calc_rms(res)
+            # restrict variables l -> l+1 (euler3d:547-552)
+            variables[l + 1] = mg_restrict(
+                variables[l], variables[l + 1],
+                dmesh.levels[l].mg_mapping, dmesh.levels[l + 1].num_nodes)
+
+        # --- top level ---
+        res = do_visit(L - 1)
+        if L == 1:
+            rms = calc_rms(res)
+
+        # --- down sweep ---
+        for l in range(L - 2, -1, -1):
+            fine = dmesh.levels[l]
+            coarse = dmesh.levels[l + 1]
+            variables[l] = prolong_residuals_interpolate(
+                residuals[l + 1], residuals[l], variables[l],
+                fine.mg_mapping, coarse.coords, fine.coords,
+                fine.edge_a, fine.edge_b)
+            if l > 0:
+                do_visit(l)
+
+        new_state = {"variables": variables, "residuals": residuals}
+        return new_state, rms, invalid_total, rw_token
+
+    return jax.jit(cycle, donate_argnums=(0,))
+
+
+class MGCFDSolver:
+    """Host-side driver: owns device mesh + state, runs cycles, performs
+    the fail-fast NaN check between cycles (check_for_invalid_variables
+    semantics, validation.cpp:107-138)."""
+
+    def __init__(self, mesh: MultigridMesh, config: SolverConfig | None = None,
+                 device=None):
+        self.config = config or SolverConfig()
+        self.mesh = mesh
+        self.dmesh = prepare_device_mesh(mesh, self.config, device)
+        self.dtype = jnp.dtype(self.config.dtype)
+        ff_q = jnp.asarray(np.asarray(far_field_state(np.float64)[0]),
+                           dtype=self.dtype)
+        self.state = {
+            "variables": [jnp.tile(ff_q[None, :], (l.num_nodes, 1))
+                          for l in self.dmesh.levels],
+            "residuals": [jnp.zeros((l.num_nodes, NVAR), self.dtype)
+                          for l in self.dmesh.levels],
+        }
+        self._cycle = make_cycle_fn(self.dmesh, self.config)
+        self.rms_history: list[float] = []
+
+    def run(self, cycles: int | None = None, verbose: bool = False):
+        cycles = cycles if cycles is not None else self.config.num_cycles
+        check_every = max(1, self.config.check_invalid_every)
+        for i in range(cycles):
+            self.state, rms, invalid, _tok = self._cycle(self.state)
+            if (i + 1) % check_every == 0 or i == cycles - 1:
+                inv = int(invalid)
+                if inv > 0:
+                    raise FloatingPointError(
+                        f"invalid state detected during cycle {i + 1}: "
+                        f"{inv} bad entries (NaN/Inf/negative density or "
+                        f"energy)")
+                self.rms_history.append(float(rms))
+                if verbose:
+                    print(f"MG cycle {i + 1} / {cycles} "
+                          f"(RMS = {float(rms):.3e})")
+        return self.state
+
+    def variables(self, level: int = 0) -> np.ndarray:
+        return np.asarray(self.state["variables"][level])
+
+    def step_factors(self, level: int = 0) -> np.ndarray:
+        lvl = self.dmesh.levels[level]
+        v = self.state["variables"][level]
+        if self.dmesh.variant.uses_legacy_step_factor:
+            return np.asarray(compute_step_factor_legacy(v, lvl.volumes))
+        return np.asarray(compute_step_factor(v, lvl.volumes))

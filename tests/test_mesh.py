@@ -1,0 +1,158 @@
+"""Mesh generation and reference-format I/O round-trips."""
+import numpy as np
+import pytest
+
+from mgcfd_tpu.core.constants import MeshVariant
+from mgcfd_tpu.mesh import (
+    generate_box_mesh, generate_multigrid_box,
+    write_grid_dat, read_grid_dat,
+    write_mg_connectivity, read_mg_connectivity,
+    write_input_dat, read_input_dat, load_multigrid_mesh,
+    duplicate_mesh, load_mesh_cached,
+)
+from mgcfd_tpu.mesh.build import build_edges_from_adjacency
+
+
+def test_box_counts():
+    lvl = generate_box_mesh(4, 3, 2)
+    assert lvl.num_nodes == 24
+    # internal edges: (nx-1)*ny*nz + nx*(ny-1)*nz + nx*ny*(nz-1)
+    assert lvl.num_internal_edges == 3 * 3 * 2 + 4 * 2 * 2 + 4 * 3 * 1
+    # boundary faces: 2 x (ny*nz) + 2 x (nx*nz) + top (nx*ny)
+    assert lvl.num_boundary_edges == 2 * 6 + 2 * 8 + 12
+    assert lvl.num_wall_edges == 12  # bottom face
+    lvl.validate()
+
+
+def test_face_normals_close():
+    """Every interior node's edge normals (with boundary/wall faces flipped
+    back to outward) must sum to ~0 — a closed control volume."""
+    lvl = generate_box_mesh(4, 4, 4)
+    n = lvl.num_nodes
+    acc = np.zeros((n, 3))
+    # internal normal points a->b: outward for a, inward for b
+    np.add.at(acc, lvl.edge_a, lvl.edge_w)
+    np.add.at(acc, lvl.edge_b, -lvl.edge_w)
+    np.add.at(acc, lvl.bedge_b, -lvl.bedge_w)  # stored inward
+    np.add.at(acc, lvl.wedge_b, -lvl.wedge_w)
+    assert np.abs(acc).max() < 1e-12
+
+
+@pytest.mark.parametrize("variant", [MeshVariant.M6_WING, MeshVariant.FVCORR])
+def test_dat_roundtrip(tmp_path, variant):
+    lvl = generate_box_mesh(3, 4, 5, volume_jitter=0.3, seed=7)
+    path = str(tmp_path / "mesh.dat")
+    write_grid_dat(path, lvl, variant)
+    back = read_grid_dat(path, variant)
+    np.testing.assert_allclose(back.volumes, lvl.volumes, rtol=0)
+    np.testing.assert_array_equal(back.edge_a, lvl.edge_a)
+    np.testing.assert_array_equal(back.edge_b, lvl.edge_b)
+    np.testing.assert_allclose(back.edge_w, lvl.edge_w, rtol=0)
+    np.testing.assert_array_equal(back.bedge_b, lvl.bedge_b)
+    np.testing.assert_allclose(back.bedge_w, lvl.bedge_w, rtol=0)
+    np.testing.assert_array_equal(back.wedge_b, lvl.wedge_b)
+    np.testing.assert_allclose(back.wedge_w, lvl.wedge_w, rtol=0)
+    np.testing.assert_allclose(back.coords, lvl.coords, rtol=0)
+
+
+def test_generator_matches_adjacency_builder():
+    """The vectorised box generator must equal the scalar adjacency path."""
+    lvl = generate_box_mesh(3, 3, 3, volume_jitter=0.0)
+    n = lvl.num_nodes
+    ids = [[] for _ in range(n)]
+    wts = [[] for _ in range(n)]
+    for a, b, w in zip(lvl.edge_a, lvl.edge_b, lvl.edge_w):
+        ids[a].append(b); wts[a].append(w)
+    for a, b, w in zip(lvl.edge_a, lvl.edge_b, lvl.edge_w):
+        ids[b].append(a); wts[b].append(-w)
+    for b, w in zip(lvl.bedge_b, lvl.bedge_w):
+        ids[b].append(-1); wts[b].append(w)
+    for b, w in zip(lvl.wedge_b, lvl.wedge_w):
+        ids[b].append(-2); wts[b].append(w)
+    built = build_edges_from_adjacency(
+        lvl.volumes, lvl.coords,
+        [np.array(x) for x in ids],
+        [np.array(x).reshape(-1, 3) for x in wts],
+        MeshVariant.M6_WING)
+    np.testing.assert_array_equal(built.edge_a, lvl.edge_a)
+    np.testing.assert_array_equal(built.edge_b, lvl.edge_b)
+    # builder flips the listed internal weight (listed at b = -w):
+    np.testing.assert_allclose(built.edge_w, lvl.edge_w)
+    np.testing.assert_allclose(built.bedge_w, lvl.bedge_w)
+
+
+def test_multigrid_hierarchy():
+    mesh = generate_multigrid_box(8, 8, 8, 3)
+    assert mesh.num_levels == 3
+    assert mesh.levels[0].num_nodes == 512
+    assert mesh.levels[1].num_nodes == 64
+    assert mesh.levels[2].num_nodes == 8
+    for l in range(2):
+        fine, coarse = mesh.levels[l], mesh.levels[l + 1]
+        assert fine.mg_mapping.shape[0] == fine.num_nodes
+        assert fine.mg_mapping.max() < coarse.num_nodes
+        # coarse volume = sum of children volumes
+        np.testing.assert_allclose(coarse.volumes.sum(),
+                                   fine.volumes.sum())
+        # even-index fine nodes coincide with their coarse parents
+        coincident = np.all(
+            fine.coords == coarse.coords[fine.mg_mapping], axis=1)
+        assert coincident.sum() > 0
+
+
+def test_input_dat_roundtrip(tmp_path):
+    mesh = generate_multigrid_box(4, 4, 4, 2, name="t")
+    files, mgs = [], []
+    for i, lvl in enumerate(mesh.levels):
+        name = f"level{i}.dat"
+        write_grid_dat(str(tmp_path / name), lvl, mesh.variant)
+        files.append(name)
+        if lvl.mg_mapping is not None:
+            mg = f"mg{i}.dat"
+            write_mg_connectivity(str(tmp_path / mg), lvl.mg_mapping)
+            mgs.append(mg)
+    write_input_dat(str(tmp_path / "input.dat"), mesh, files, mgs)
+
+    size, nl, variant, lf, mf = read_input_dat(str(tmp_path / "input.dat"))
+    assert (size, nl, variant) == (1, 2, MeshVariant.M6_WING)
+    loaded = load_multigrid_mesh(str(tmp_path / "input.dat"))
+    assert loaded.num_levels == 2
+    np.testing.assert_array_equal(loaded.levels[0].mg_mapping,
+                                  mesh.levels[0].mg_mapping)
+    np.testing.assert_allclose(loaded.levels[0].edge_w,
+                               mesh.levels[0].edge_w)
+
+
+def test_mg_connectivity_roundtrip(tmp_path):
+    m = np.array([0, 1, 1, 2, 0], dtype=np.int64)
+    write_mg_connectivity(str(tmp_path / "mg.dat"), m)
+    np.testing.assert_array_equal(read_mg_connectivity(
+        str(tmp_path / "mg.dat")), m)
+
+
+def test_duplicate_mesh():
+    mesh = generate_multigrid_box(4, 4, 4, 2)
+    dup = duplicate_mesh(mesh, 3)
+    f0, d0 = mesh.levels[0], dup.levels[0]
+    assert d0.num_nodes == 3 * f0.num_nodes
+    assert d0.num_internal_edges == 3 * f0.num_internal_edges
+    # second copy's edges index into the second node block:
+    e = f0.num_internal_edges
+    np.testing.assert_array_equal(
+        d0.edge_a[e:2 * e], f0.edge_a + f0.num_nodes)
+    # mg mapping shifts by the coarse node count per copy:
+    np.testing.assert_array_equal(
+        d0.mg_mapping[f0.num_nodes:2 * f0.num_nodes],
+        f0.mg_mapping + mesh.levels[1].num_nodes)
+    assert dup.problem_size == 3
+
+
+def test_mesh_cache(tmp_path):
+    lvl = generate_box_mesh(3, 3, 3)
+    path = str(tmp_path / "m.dat")
+    write_grid_dat(path, lvl, MeshVariant.M6_WING)
+    a = load_mesh_cached(path, MeshVariant.M6_WING)
+    b = load_mesh_cached(path, MeshVariant.M6_WING)  # from cache
+    np.testing.assert_array_equal(a.edge_a, b.edge_a)
+    np.testing.assert_allclose(a.edge_w, b.edge_w)
+    np.testing.assert_allclose(a.coords, b.coords)
