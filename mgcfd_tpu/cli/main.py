@@ -1,0 +1,228 @@
+"""Command-line driver.
+
+Mirrors the reference binary's interface (config.cpp:32-47, :281-305):
+  -i/--input-file, -c/--config-filepath, -d/--input-directory,
+  -o/--output-file-prefix, -m/--mesh-duplicate-count, -g/--num-cycles,
+  -v/--validate-result, --output-variables/-fluxes/-step-factors/-volumes
+plus TPU-era additions: --dtype, --partitions, --monitor, --synthetic.
+
+Config files are `key = value` lines with `#` comments (read_config,
+config.cpp:159-217); CLI flags override file values when given.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..core.config import SolverConfig
+from ..core.constants import NVAR
+from ..mesh import load_multigrid_mesh, duplicate_mesh
+from ..validate.golden import (
+    dump_variables, dump_scalars, output_filepath, solution_filepath,
+    read_solution, identify_differences)
+
+CONFIG_KEYS = {
+    "input_file": str, "input_file_directory": str,
+    "output_file_prefix": str, "mesh_duplicate_count": int,
+    "cycles": int, "output_variables": None, "output_step_factors": None,
+    "output_fluxes": None, "output_volumes": None,
+    "dtype": str, "partitions": int, "papi_config_file": str,
+}
+
+
+def read_config_file(path: str, cfg: SolverConfig) -> None:
+    base = os.path.dirname(os.path.abspath(path))
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, value = (s.strip() for s in line.split("=", 1))
+            if key == "input_file":
+                cfg.input_file = value
+            elif key == "input_file_directory":
+                # relative paths are relative to the config file
+                # (config.cpp:196-216)
+                cfg.input_file_directory = (
+                    value if value.startswith("/")
+                    else (base if value == "./"
+                          else os.path.join(base, value)))
+            elif key == "output_file_prefix":
+                cfg.output_file_prefix = value
+            elif key == "mesh_duplicate_count":
+                cfg.mesh_duplicate_count = int(value)
+            elif key == "cycles":
+                cfg.num_cycles = int(value)
+            elif key == "output_variables":
+                cfg.output_variables = value == "Y"
+            elif key == "output_step_factors":
+                cfg.output_step_factors = value == "Y"
+            elif key == "output_fluxes":
+                cfg.output_fluxes = value == "Y"
+            elif key == "output_volumes":
+                cfg.output_volumes = value == "Y"
+            elif key == "dtype":
+                cfg.dtype = value
+            elif key == "partitions":
+                cfg.num_partitions = int(value)
+            elif key in ("papi_config_file", "omp_num_threads",
+                         "output_old_variables", "output_edge_fluxes",
+                         "config_filepath"):
+                pass  # accepted for reference compatibility
+            else:
+                print(f"WARNING: Unknown key '{key}' encountered during "
+                      f"parsing of config file.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mgcfd",
+        description="TPU-native MG-CFD: 3D unstructured-mesh multigrid "
+                    "Euler solver")
+    p.add_argument("-i", "--input-file", default=None,
+                   help="Multigrid input grid (input.dat descriptor)")
+    p.add_argument("-c", "--config-filepath", default=None,
+                   help="key=value config file")
+    p.add_argument("-d", "--input-directory", default=None)
+    p.add_argument("-o", "--output-file-prefix", default=None)
+    p.add_argument("-m", "--mesh-duplicate-count", type=int, default=None)
+    p.add_argument("-g", "--num-cycles", type=int, default=None)
+    p.add_argument("-v", "--validate-result", action="store_true")
+    p.add_argument("-p", "--papi-config-file", default=None,
+                   help="accepted for compatibility (ignored; XLA cost "
+                        "analysis replaces PAPI)")
+    p.add_argument("--output-variables", action="store_true")
+    p.add_argument("--output-fluxes", action="store_true")
+    p.add_argument("--output-step-factors", action="store_true")
+    p.add_argument("--output-volumes", action="store_true")
+    # TPU-era options
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--partitions", type=int, default=None,
+                   help="SPMD shards over the device mesh")
+    p.add_argument("--monitor", choices=["fused", "instrumented"],
+                   default=None, help="per-kernel timing mode")
+    p.add_argument("--synthetic", default=None, metavar="NX,NY,NZ,L",
+                   help="run on a generated box mesh instead of -i")
+    p.add_argument("--accumulate", default=None,
+                   choices=["segment", "scatter"])
+    p.add_argument("--platform", default=None,
+                   help="jax platform override, e.g. cpu (useful when the "
+                        "TPU is held by another process)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    cfg = SolverConfig()
+    if args.config_filepath:
+        read_config_file(args.config_filepath, cfg)
+    if args.input_file is not None:
+        cfg.input_file = args.input_file
+    if args.input_directory is not None:
+        cfg.input_file_directory = args.input_directory
+    if args.output_file_prefix is not None:
+        cfg.output_file_prefix = args.output_file_prefix
+    if args.mesh_duplicate_count is not None:
+        cfg.mesh_duplicate_count = args.mesh_duplicate_count
+    if args.num_cycles is not None:
+        cfg.num_cycles = args.num_cycles
+    cfg.validate_result = args.validate_result or cfg.validate_result
+    cfg.output_variables |= args.output_variables
+    cfg.output_fluxes |= args.output_fluxes
+    cfg.output_step_factors |= args.output_step_factors
+    cfg.output_volumes |= args.output_volumes
+    if args.dtype:
+        cfg.dtype = args.dtype
+    if args.partitions:
+        cfg.num_partitions = args.partitions
+    if args.monitor:
+        cfg.monitor_mode = args.monitor
+    if args.accumulate:
+        cfg.accumulate = args.accumulate
+
+    # --- load mesh ---
+    if args.synthetic:
+        from ..bench.flagship import FlagshipSpec, flagship_mesh
+        nx, ny, nz, L = (int(x) for x in args.synthetic.split(","))
+        mesh = flagship_mesh(FlagshipSpec(nx=nx, ny=ny, nz=nz,
+                                          num_levels=L))
+    else:
+        if not cfg.input_file:
+            print("ERROR: input_file not set")
+            return 1
+        path = cfg.input_file
+        if cfg.input_file_directory:
+            path = os.path.join(cfg.input_file_directory, cfg.input_file)
+        mesh = load_multigrid_mesh(path, cfg.input_file_directory)
+    if cfg.mesh_duplicate_count > 1:
+        mesh = duplicate_mesh(mesh, cfg.mesh_duplicate_count)
+
+    # --- run ---
+    t0 = time.time()
+    if cfg.num_partitions > 1:
+        from ..parallel import ShardedSolver
+        solver = ShardedSolver(mesh, cfg)
+        solver.run(cfg.num_cycles, verbose=True)
+        stats = None
+    elif cfg.monitor_mode == "instrumented":
+        from ..monitor import InstrumentedSolver
+        solver = InstrumentedSolver(mesh, cfg)
+        stats = solver.run(cfg.num_cycles, verbose=True)
+    else:
+        from ..solver import MGCFDSolver
+        solver = MGCFDSolver(mesh, cfg)
+        solver.run(cfg.num_cycles, verbose=True)
+        stats = None
+    total = time.time() - t0
+    print(f"Total runtime = {total}")
+
+    # --- validation (euler3d_cpu_double.cpp:704-744) ---
+    if cfg.validate_result:
+        print("Beginning validation of variables[]")
+        sol_path = solution_filepath(cfg.input_file_directory, "variables",
+                                     cfg.mesh_duplicate_count,
+                                     cfg.num_cycles, 0)
+        if not os.path.exists(sol_path):
+            print("  could not open variables solution file:")
+            print(f"    {sol_path}")
+            print("  aborting validation")
+        else:
+            vars0 = solver.variables(0)
+            sol = read_solution(sol_path, vars0.shape[0])
+            identify_differences(vars0, sol, mesh.variant)
+            print("PASS: variables[] validated successfully")
+
+    # --- dumps (finest level only, euler3d:749-772) ---
+    if cfg.output_variables:
+        path = output_filepath(cfg.output_file_prefix, "variables",
+                               cfg.mesh_duplicate_count, cfg.num_cycles, 0)
+        print(f"Dumping variables[] to file: {path}")
+        dump_variables(path, solver.variables(0))
+    if cfg.output_step_factors and hasattr(solver, "step_factors"):
+        path = output_filepath(cfg.output_file_prefix, "step_factors",
+                               cfg.mesh_duplicate_count, cfg.num_cycles, 0)
+        dump_scalars(path, solver.step_factors(0))
+    if cfg.output_volumes:
+        path = output_filepath(cfg.output_file_prefix, "volumes",
+                               cfg.mesh_duplicate_count, cfg.num_cycles, 0)
+        dump_scalars(path, mesh.levels[0].volumes)
+
+    # --- monitoring reports ---
+    if stats is not None:
+        p1, p2 = solver.write_reports(cfg.output_file_prefix)
+        print(f"Loop runtimes written to: {p1}")
+        print(f"Loop stats written to: {p2}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

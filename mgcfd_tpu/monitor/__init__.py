@@ -1,0 +1,5 @@
+from .csvout import CsvIdentification, write_times_csv, write_loop_stats_csv
+from .instrument import InstrumentedSolver, KernelStats
+
+__all__ = ["CsvIdentification", "write_times_csv", "write_loop_stats_csv",
+           "InstrumentedSolver", "KernelStats"]

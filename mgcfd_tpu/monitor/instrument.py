@@ -1,0 +1,231 @@
+"""Per-kernel instrumented solver.
+
+The fused solver (solver/) compiles a whole V-cycle into one XLA program —
+fastest, but unattributable. This instrumented variant mirrors the
+reference's monitoring model (timer.cpp/loop_stats.cpp): each kernel is
+its own jitted call, timed with block_until_ready, accumulated per
+(kernel, level), with iteration counts recorded per invocation — emitting
+Times.csv / LoopNumIters.csv in the reference schema plus an XLACosts.csv
+(flops / bytes from XLA cost analysis: the PAPI-counter analogue).
+
+Kernel attribution matches the reference:
+  flux         internal+boundary+wall flux computation & accumulation
+               (flux_loops.cpp wraps all three under COMPUTE_FLUX_EDGE)
+  update       the separate accumulate phase when flux_fission is on
+  compute_step step factor
+  time_step    RK update
+  indirect_rw  the data-movement twin
+  restrict     MG restriction
+  prolong      MG prolongation
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import SolverConfig
+from ..core.constants import RK, NVAR, far_field_state
+from ..core.types import MultigridMesh
+from ..ops import (
+    internal_edge_flux, boundary_edge_flux, wall_edge_flux,
+    indirect_rw_edge_values, accumulate_flux,
+    compute_step_factor, compute_step_factor_legacy, time_step,
+    mg_restrict, prolong_residuals_interpolate, residual, calc_rms,
+    invalid_variables_count,
+)
+from ..solver.solver import prepare_device_mesh
+
+
+@dataclasses.dataclass
+class KernelStats:
+    times: dict            # (kernel, level) -> seconds
+    iters: dict            # (kernel, level) -> iteration count
+    flops: dict            # (kernel, level) -> flop estimate (XLA)
+    bytes_accessed: dict   # (kernel, level) -> bytes estimate (XLA)
+    total_time: float = 0.0
+
+
+def _cost_of(jitted, *args):
+    try:
+        an = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        return (float(an.get("flops", 0.0)),
+                float(an.get("bytes accessed", 0.0)))
+    except Exception:
+        return 0.0, 0.0
+
+
+class InstrumentedSolver:
+    def __init__(self, mesh: MultigridMesh, config: SolverConfig):
+        self.mesh = mesh
+        self.config = config
+        self.dmesh = prepare_device_mesh(mesh, config)
+        self.dtype = jnp.dtype(config.dtype)
+        self.legacy = mesh.variant.uses_legacy_step_factor
+        ff_q, ff_flux = far_field_state(np.float64)
+        self.ff_flux = jnp.asarray(ff_flux, self.dtype)
+        self.ff_q = jnp.asarray(ff_q, self.dtype)
+        self.stats = KernelStats(defaultdict(float), defaultdict(int),
+                                 defaultdict(float), defaultdict(float))
+        self._build_kernels()
+        self.variables = [jnp.tile(self.ff_q[None, :], (l.num_nodes, 1))
+                          for l in self.dmesh.levels]
+        self.residuals = [jnp.zeros((l.num_nodes, NVAR), self.dtype)
+                          for l in self.dmesh.levels]
+        self.rms_history: list[float] = []
+
+    # --- kernel construction -------------------------------------------
+    def _build_kernels(self):
+        cfg = self.config
+        self.k = {}
+        for l, lvl in enumerate(self.dmesh.levels):
+            step = (compute_step_factor_legacy if self.legacy
+                    else compute_step_factor)
+            self.k[("compute_step", l)] = jax.jit(
+                lambda v, lvl=lvl, step=step: step(v, lvl.volumes))
+
+            if cfg.flux_fission:
+                def flux_vals(v, lvl=lvl):
+                    return (internal_edge_flux(v[lvl.edge_a], v[lvl.edge_b],
+                                               lvl.edge_w, lvl.edge_ewt),
+                            boundary_edge_flux(v[lvl.bedge_b], lvl.bedge_w),
+                            wall_edge_flux(v[lvl.wedge_b], lvl.wedge_w,
+                                           self.ff_flux))
+
+                def update(vals, lvl=lvl):
+                    vi, vb, vw = vals
+                    return accumulate_flux(
+                        lvl.num_nodes, lvl.edge_a, lvl.edge_b, vi,
+                        lvl.bedge_b, vb, lvl.wedge_b, vw, mode="segment")
+
+                self.k[("flux", l)] = jax.jit(flux_vals)
+                self.k[("update", l)] = jax.jit(update)
+            else:
+                def flux(v, lvl=lvl):
+                    vi = internal_edge_flux(v[lvl.edge_a], v[lvl.edge_b],
+                                            lvl.edge_w, lvl.edge_ewt)
+                    vb = boundary_edge_flux(v[lvl.bedge_b], lvl.bedge_w)
+                    vw = wall_edge_flux(v[lvl.wedge_b], lvl.wedge_w,
+                                        self.ff_flux)
+                    return accumulate_flux(
+                        lvl.num_nodes, lvl.edge_a, lvl.edge_b, vi,
+                        lvl.bedge_b, vb, lvl.wedge_b, vw, mode="segment")
+                self.k[("flux", l)] = jax.jit(flux)
+
+            self.k[("time_step", l)] = jax.jit(
+                lambda j, sf, fx, old: time_step(j, sf, fx, old),
+                static_argnums=0)
+
+            def rw(v, lvl=lvl):
+                va, vb = indirect_rw_edge_values(v[lvl.edge_a],
+                                                 v[lvl.edge_b], lvl.edge_w)
+                return accumulate_flux(lvl.num_nodes, lvl.edge_a,
+                                       lvl.edge_b, va, mode="segment",
+                                       val_internal_b=vb)
+            self.k[("indirect_rw", l)] = jax.jit(rw)
+
+            if l < len(self.dmesh.levels) - 1:
+                nxt = self.dmesh.levels[l + 1]
+                self.k[("restrict", l)] = jax.jit(
+                    lambda vf, vc, lvl=lvl, nxt=nxt: mg_restrict(
+                        vf, vc, lvl.mg_mapping, nxt.num_nodes))
+                self.k[("prolong", l)] = jax.jit(
+                    lambda rc, rf, vf, lvl=lvl, nxt=nxt:
+                    prolong_residuals_interpolate(
+                        rc, rf, vf, lvl.mg_mapping, nxt.coords, lvl.coords,
+                        lvl.edge_a, lvl.edge_b))
+
+    # --- timed invocation ----------------------------------------------
+    def _run_kernel(self, name, l, iters, *args):
+        fn = self.k[(name, l)]
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        self.stats.times[(name, l)] += time.perf_counter() - t0
+        self.stats.iters[(name, l)] += iters
+        return out
+
+    def record_costs(self):
+        """XLA cost analysis per compiled kernel (PAPI-counter analogue)."""
+        for l, lvl in enumerate(self.dmesh.levels):
+            v = self.variables[l]
+            sf = self.k[("compute_step", l)](v)
+            examples = {
+                "compute_step": (v,),
+                "flux": (v,),
+                "indirect_rw": (v,),
+            }
+            for name, args in examples.items():
+                fl, by = _cost_of(self.k[(name, l)], *args)
+                self.stats.flops[(name, l)] = fl
+                self.stats.bytes_accessed[(name, l)] = by
+
+    # --- solver walk ----------------------------------------------------
+    def _visit(self, l):
+        lvl = self.dmesh.levels[l]
+        n = lvl.num_nodes
+        v = self.variables[l]
+        old = v
+        sf = self._run_kernel("compute_step", l, n, v)
+        for j in range(RK):
+            if self.config.flux_fission:
+                ne = (lvl.edge_a.shape[0] + lvl.bedge_b.shape[0]
+                      + lvl.wedge_b.shape[0])
+                vals = self._run_kernel("flux", l, lvl.edge_a.shape[0], v)
+                fx = self._run_kernel("update", l, ne, vals)
+            else:
+                fx = self._run_kernel("flux", l, lvl.edge_a.shape[0], v)
+            v = self._run_kernel("time_step", l, n, j, sf, fx, old)
+            if self.config.include_indirect_rw:
+                self._run_kernel("indirect_rw", l, lvl.edge_a.shape[0], v)
+        self.variables[l] = v
+        self.residuals[l] = residual(old, v)
+        if int(invalid_variables_count(v)) > 0:
+            raise FloatingPointError(f"invalid state on level {l}")
+        return self.residuals[l]
+
+    def run(self, cycles: int | None = None, verbose: bool = False):
+        cycles = cycles if cycles is not None else self.config.num_cycles
+        L = len(self.dmesh.levels)
+        t_start = time.perf_counter()
+        for i in range(cycles):
+            if L == 1:
+                res = self._visit(0)
+                self.rms_history.append(float(calc_rms(res)))
+            else:
+                for l in range(L - 1):
+                    res = self._visit(l)
+                    if l == 0:
+                        self.rms_history.append(float(calc_rms(res)))
+                    self.variables[l + 1] = self._run_kernel(
+                        "restrict", l, self.dmesh.levels[l].num_nodes,
+                        self.variables[l], self.variables[l + 1])
+                self._visit(L - 1)
+                for l in range(L - 2, -1, -1):
+                    self.variables[l] = self._run_kernel(
+                        "prolong", l, self.dmesh.levels[l].edge_a.shape[0],
+                        self.residuals[l + 1], self.residuals[l],
+                        self.variables[l])
+                    if l > 0:
+                        self._visit(l)
+            if verbose:
+                print(f"MG cycle {i + 1} / {cycles} "
+                      f"(RMS = {self.rms_history[-1]:.3e})")
+        self.stats.total_time = time.perf_counter() - t_start
+        return self.stats
+
+    def write_reports(self, prefix: str = ""):
+        from .csvout import (CsvIdentification, write_times_csv,
+                             write_loop_stats_csv)
+        ident = CsvIdentification.build(self.config, self.mesh)
+        L = len(self.dmesh.levels)
+        p1 = write_times_csv(prefix, ident, dict(self.stats.times), L,
+                             self.stats.total_time)
+        p2 = write_loop_stats_csv(prefix, ident, dict(self.stats.iters), L)
+        return p1, p2

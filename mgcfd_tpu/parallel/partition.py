@@ -1,0 +1,272 @@
+"""Mesh partitioning for SPMD execution.
+
+The reference has NO distributed layer (SURVEY 2.6/5.8): its only
+parallelism is OpenMP threads with races avoided by serialisation, loop
+fission or mesh replication. This module designs the missing piece
+TPU-natively:
+
+  - nodes are split into P contiguous blocks (the generator/renumberer
+    provides locality; prep/ can RCM-reorder general meshes first);
+  - each internal edge is owned by the shard of endpoint `a`; boundary and
+    wall edges by the shard of `b` (always local);
+  - the SEPARATOR set of a shard is the owned nodes that any other shard's
+    edges reference; separator values travel as one all_gather of a
+    (P, Smax, NVAR) pool per flux evaluation, and foreign contributions
+    return as one psum_scatter — both ride ICI as static-shape
+    collectives;
+  - coarse multigrid levels are replicated (they are ~8x smaller per
+    level); restriction partial-sums are psum'd.
+
+Everything here is host-side numpy preprocessing that emits statically
+shaped, stacked (leading axis = shard) arrays for shard_map.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.constants import NVAR
+from ..core.types import MeshLevel
+
+
+def _pad_to(arr, n, fill):
+    pad = n - arr.shape[0]
+    if pad <= 0:
+        return arr
+    pad_block = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad_block], axis=0)
+
+
+@dataclasses.dataclass
+class ShardedLevelData:
+    """Stacked per-shard arrays for one mesh level (leading axis = P)."""
+    # node block data
+    volumes: np.ndarray          # (P, B)
+    node_mask: np.ndarray        # (P, B) 1.0 for real nodes, 0.0 padding
+    coords: np.ndarray | None    # (P, B, 3)
+    # internal edges (owned by shard): local combined indices into
+    # [block (B) | pool (P*Smax)]
+    edge_a: np.ndarray           # (P, E) int32
+    edge_b: np.ndarray           # (P, E) int32
+    edge_w: np.ndarray           # (P, E, 3)
+    # boundary/wall edges (always local destinations)
+    bedge_b: np.ndarray          # (P, Eb) int32 (block-local)
+    bedge_w: np.ndarray          # (P, Eb, 3)
+    wedge_b: np.ndarray          # (P, Ew) int32
+    wedge_w: np.ndarray          # (P, Ew, 3)
+    # separator bookkeeping
+    sep_idx: np.ndarray          # (P, Smax) int32 block-local indices
+    sep_mask: np.ndarray         # (P, Smax) float
+    # multigrid (to next level, which is replicated)
+    mg_mapping: np.ndarray | None      # (P, B) int64 into coarse nodes,
+    # padding rows map to segment `num_coarse` (dropped)
+    mg_counts: np.ndarray | None       # (num_coarse,) precomputed counts
+    mg_mapped: np.ndarray | None       # (num_coarse,) bool
+    coincident: np.ndarray | None      # (P, B) bool (fine node == parent)
+    # static prolongation geometry per owned edge (inverse distances and
+    # coarse parents are mesh constants — computed once, never exchanged)
+    pro_a1: np.ndarray | None = None       # (P, E) int32 coarse parent of a2
+    pro_b1: np.ndarray | None = None       # (P, E) int32 coarse parent of b2
+    pro_id_a1a2: np.ndarray | None = None  # (P, E) 1/dist(a1,a2)
+    pro_id_b1a2: np.ndarray | None = None  # (P, E)
+    pro_id_b1b2: np.ndarray | None = None  # (P, E)
+    pro_id_a1b2: np.ndarray | None = None  # (P, E)
+    pro_live_a: np.ndarray | None = None   # (P, E) 1.0 unless a2 coincident/pad
+    pro_live_b: np.ndarray | None = None   # (P, E)
+    parent: np.ndarray | None = None       # (P, B) int32 coarse parent (safe)
+    # sizes
+    num_nodes: int = 0
+    block: int = 0
+    smax: int = 0
+
+    @property
+    def P(self):
+        return self.volumes.shape[0]
+
+
+@dataclasses.dataclass
+class ShardedMeshData:
+    level0: ShardedLevelData
+    coarse_levels: list[MeshLevel]   # replicated levels 1..L-1 (host data)
+    P: int
+
+
+def partition_level(lvl: MeshLevel, P: int) -> ShardedLevelData:
+    n = lvl.num_nodes
+    B = -(-n // P)
+
+    def part(idx):
+        return np.minimum(idx // B, P - 1)
+
+    def local(idx):
+        return idx - part(idx) * B
+
+    pa, pb = part(lvl.edge_a), part(lvl.edge_b)
+    owner = pa
+
+    # --- separator sets: nodes referenced by edges owned elsewhere ---
+    sep_sets = [set() for _ in range(P)]
+    cross = pa != pb
+    # b endpoints of cross edges are owned by part(b) but referenced by
+    # the edge owner (= part(a)); a endpoints are always local to owner.
+    for node in np.unique(lvl.edge_b[cross]):
+        sep_sets[int(part(np.int64(node)))].add(int(node))
+    sep_lists = [np.array(sorted(s), dtype=np.int64) for s in sep_sets]
+    smax = max(1, max(len(s) for s in sep_lists))
+    sep_rank = {}
+    for p in range(P):
+        for r, node in enumerate(sep_lists[p]):
+            sep_rank[int(node)] = r
+
+    sep_idx = np.stack([
+        _pad_to(local(s).astype(np.int32), smax, 0) for s in sep_lists])
+    sep_mask = np.stack([
+        _pad_to(np.ones(len(s)), smax, 0.0) for s in sep_lists])
+
+    def combined_index(node_arr, owner_arr):
+        """Index into [block (B) | pool (P*Smax)] for each (node, owner)."""
+        node_part = part(node_arr)
+        is_local = node_part == owner_arr
+        loc = local(node_arr)
+        pool = B + node_part * smax + np.array(
+            [sep_rank.get(int(x), 0) for x in node_arr], dtype=np.int64)
+        return np.where(is_local, loc, pool).astype(np.int32)
+
+    # --- per-shard edge lists ---
+    emax = max(1, int(np.bincount(owner, minlength=P).max()))
+    edge_a = np.zeros((P, emax), np.int32)
+    edge_b = np.zeros((P, emax), np.int32)
+    edge_w = np.zeros((P, emax, 3))
+    for p in range(P):
+        sel = owner == p
+        a = combined_index(lvl.edge_a[sel].astype(np.int64),
+                           np.full(sel.sum(), p))
+        b = combined_index(lvl.edge_b[sel].astype(np.int64),
+                           np.full(sel.sum(), p))
+        w = lvl.edge_w[sel]
+        # padding: degenerate zero-weight self-edge on local node 0
+        edge_a[p] = _pad_to(a, emax, 0)
+        edge_b[p] = _pad_to(b, emax, 0)
+        edge_w[p, :w.shape[0]] = w
+
+    def local_edges(idx, wts):
+        p_of = part(idx)
+        cnt = np.bincount(p_of, minlength=P)
+        m = max(1, int(cnt.max()))
+        out_i = np.zeros((P, m), np.int32)
+        out_w = np.zeros((P, m, 3))
+        for p in range(P):
+            sel = p_of == p
+            out_i[p] = _pad_to(local(idx[sel]).astype(np.int32), m, 0)
+            out_w[p, :sel.sum()] = wts[sel]
+        return out_i, out_w
+
+    bedge_b, bedge_w = local_edges(lvl.bedge_b.astype(np.int64), lvl.bedge_w)
+    wedge_b, wedge_w = local_edges(lvl.wedge_b.astype(np.int64), lvl.wedge_w)
+
+    # --- node block data ---
+    volumes = np.ones((P, B))
+    node_mask = np.zeros((P, B))
+    coords = np.zeros((P, B, 3)) if lvl.coords is not None else None
+    for p in range(P):
+        lo, hi = p * B, min((p + 1) * B, n)
+        volumes[p, :hi - lo] = lvl.volumes[lo:hi]
+        node_mask[p, :hi - lo] = 1.0
+        if coords is not None:
+            coords[p, :hi - lo] = lvl.coords[lo:hi]
+
+    return ShardedLevelData(
+        volumes=volumes, node_mask=node_mask, coords=coords,
+        edge_a=edge_a, edge_b=edge_b, edge_w=edge_w,
+        bedge_b=bedge_b, bedge_w=bedge_w, wedge_b=wedge_b, wedge_w=wedge_w,
+        sep_idx=sep_idx, sep_mask=sep_mask,
+        mg_mapping=None, mg_counts=None, mg_mapped=None, coincident=None,
+        num_nodes=n, block=B, smax=smax)
+
+
+def partition_mesh(mesh, P: int) -> ShardedMeshData:
+    """Shard the finest level; attach MG bookkeeping to reach the (still
+    replicated) level 1."""
+    lvl0 = mesh.levels[0]
+    sl = partition_level(lvl0, P)
+    if mesh.num_levels > 1:
+        coarse = mesh.levels[1]
+        mapping = lvl0.mg_mapping
+        assert mapping is not None and mapping.shape[0] == lvl0.num_nodes, \
+            "sharded multigrid requires a full fine->coarse mapping"
+        B = sl.block
+        mg = np.full((P, B), coarse.num_nodes, dtype=np.int64)
+        for p in range(P):
+            lo, hi = p * B, min((p + 1) * B, lvl0.num_nodes)
+            mg[p, :hi - lo] = mapping[lo:hi]
+        counts = np.bincount(mapping, minlength=coarse.num_nodes).astype(
+            np.float64)
+        sl.mg_mapping = mg
+        sl.mg_counts = counts
+        sl.mg_mapped = counts > 0
+        # coincidence of fine node with its coarse parent (static geometry)
+        coin = np.zeros((P, B), dtype=bool)
+        full_coin = np.all(lvl0.coords == coarse.coords[mapping], axis=1)
+        for p in range(P):
+            lo, hi = p * B, min((p + 1) * B, lvl0.num_nodes)
+            coin[p, :hi - lo] = full_coin[lo:hi]
+        sl.coincident = coin
+        sl.parent = np.minimum(mg, coarse.num_nodes - 1).astype(np.int32)
+        _attach_prolong_geometry(sl, lvl0, coarse, full_coin, P)
+    return ShardedMeshData(level0=sl, coarse_levels=mesh.levels[1:], P=P)
+
+
+def _attach_prolong_geometry(sl: ShardedLevelData, lvl0: MeshLevel,
+                             coarse: MeshLevel, full_coin: np.ndarray,
+                             P: int) -> None:
+    """Per-owned-edge static prolongation data (see ops.mg.prolong_
+    residuals_interpolate for semantics, incl. the reference's a1->b2
+    residual quirk which shows up here as id_a1b2 pairing with b1)."""
+    B = sl.block
+    mapping = lvl0.mg_mapping
+    owner = np.minimum(lvl0.edge_a // B, P - 1)
+    E = sl.edge_a.shape[1]
+
+    def idist(p, q):
+        d = p - q
+        return 1.0 / np.sqrt((d * d).sum(axis=1))
+
+    shape = (P, E)
+    pro = {k: np.zeros(shape) for k in
+           ("id_a1a2", "id_b1a2", "id_b1b2", "id_a1b2", "live_a", "live_b")}
+    a1s = np.zeros(shape, np.int32)
+    b1s = np.zeros(shape, np.int32)
+    for p in range(P):
+        sel = owner == p
+        a2 = lvl0.edge_a[sel].astype(np.int64)
+        b2 = lvl0.edge_b[sel].astype(np.int64)
+        a1 = mapping[a2]
+        b1 = mapping[b2]
+        ca1, cb1 = coarse.coords[a1], coarse.coords[b1]
+        ca2, cb2 = lvl0.coords[a2], lvl0.coords[b2]
+        m = a2.shape[0]
+        a1s[p, :m] = a1
+        b1s[p, :m] = b1
+        with np.errstate(divide="ignore"):
+            pro["id_a1a2"][p, :m] = idist(ca2, ca1)
+            pro["id_b1a2"][p, :m] = idist(cb1, ca2)
+            pro["id_b1b2"][p, :m] = idist(cb2, cb1)
+            pro["id_a1b2"][p, :m] = idist(ca1, cb2)
+        pro["live_a"][p, :m] = (~full_coin[a2]).astype(np.float64)
+        pro["live_b"][p, :m] = (~full_coin[b2]).astype(np.float64)
+    # coincident endpoints produce inf idists; they are masked by live_*=0,
+    # so zero them to keep the arrays finite:
+    for k in ("id_a1a2", "id_b1a2"):
+        pro[k][~np.isfinite(pro[k])] = 0.0
+        pro[k] *= pro["live_a"] > 0
+    for k in ("id_b1b2", "id_a1b2"):
+        pro[k][~np.isfinite(pro[k])] = 0.0
+        pro[k] *= pro["live_b"] > 0
+    sl.pro_a1, sl.pro_b1 = a1s, b1s
+    sl.pro_id_a1a2 = pro["id_a1a2"]
+    sl.pro_id_b1a2 = pro["id_b1a2"]
+    sl.pro_id_b1b2 = pro["id_b1b2"]
+    sl.pro_id_a1b2 = pro["id_a1b2"]
+    sl.pro_live_a = pro["live_a"]
+    sl.pro_live_b = pro["live_b"]

@@ -1,0 +1,140 @@
+"""CLI driver, instrumented monitoring and golden validation utilities."""
+import os
+
+import numpy as np
+import pytest
+
+from mgcfd_tpu.cli.main import main as cli_main
+from mgcfd_tpu.core.config import SolverConfig
+from mgcfd_tpu.core.constants import MeshVariant
+from mgcfd_tpu.mesh import (generate_multigrid_box, write_grid_dat,
+                            write_input_dat, write_mg_connectivity)
+from mgcfd_tpu.monitor import InstrumentedSolver
+from mgcfd_tpu.solver import MGCFDSolver
+from mgcfd_tpu.validate.golden import (identify_differences, dump_variables,
+                                       read_solution, ValidationError)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    mesh = generate_multigrid_box(5, 5, 5, 2, h=(0.1, 0.1, 0.1))
+    files, mgs = [], []
+    for i, lvl in enumerate(mesh.levels):
+        write_grid_dat(str(d / f"level{i}.dat"), lvl, mesh.variant)
+        files.append(f"level{i}.dat")
+        if lvl.mg_mapping is not None:
+            write_mg_connectivity(str(d / f"mg{i}.dat"), lvl.mg_mapping)
+            mgs.append(f"mg{i}.dat")
+    write_input_dat(str(d / "input.dat"), mesh, files, mgs)
+    return d, mesh
+
+
+def test_cli_runs_and_dumps(dataset, tmp_path, capsys):
+    d, mesh = dataset
+    rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "3",
+                   "-o", str(tmp_path) + "/", "--output-variables",
+                   "--dtype", "float64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "MG cycle 3 / 3" in out
+    dumped = tmp_path / "variables.size=1x.cycles=3.level=0"
+    assert dumped.exists()
+    vals = read_solution(str(dumped), mesh.levels[0].num_nodes)
+    assert np.isfinite(vals).all()
+
+
+def test_cli_validation_pass_and_fail(dataset, tmp_path, capsys):
+    d, mesh = dataset
+    # produce a solution file from a run, then validate against it
+    # (a dump IS a usable golden state: io.cpp:224 == io_enhanced.cpp:849)
+    rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "2",
+                   "-o", str(d) + "/", "--output-variables",
+                   "--dtype", "float64"])
+    assert rc == 0
+    sol = d / "solution.variables.size=1x.cycles=2.level=0"
+    os.rename(str(d / "variables.size=1x.cycles=2.level=0"), str(sol))
+    rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "2", "-v",
+                   "--dtype", "float64"])
+    assert rc == 0
+    assert "PASS: variables[] validated successfully" in \
+        capsys.readouterr().out
+    # corrupt the solution -> must raise
+    vals = read_solution(str(sol), mesh.levels[0].num_nodes)
+    vals[0, 0] *= 1.001
+    dump_variables(str(sol), vals)
+    with pytest.raises(ValidationError):
+        cli_main(["-i", "input.dat", "-d", str(d), "-g", "2", "-v",
+                  "--dtype", "float64"])
+    os.remove(str(sol))
+
+
+def test_cli_config_file(dataset, tmp_path, capsys):
+    d, mesh = dataset
+    conf = tmp_path / "run.conf"
+    conf.write_text(
+        f"# comment line\ninput_file = input.dat\n"
+        f"input_file_directory = {d}\ncycles = 2\ndtype = float64\n")
+    rc = cli_main(["-c", str(conf)])
+    assert rc == 0
+    assert "MG cycle 2 / 2" in capsys.readouterr().out
+
+
+def test_cli_synthetic(capsys):
+    rc = cli_main(["--synthetic", "5,5,5,2", "-g", "2",
+                   "--dtype", "float64"])
+    assert rc == 0
+
+
+def test_instrumented_matches_fused(dataset, tmp_path):
+    _, mesh = dataset
+    fused = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                           include_indirect_rw=False))
+    fused.run(cycles=3)
+    inst = InstrumentedSolver(mesh, SolverConfig(
+        dtype="float64", include_indirect_rw=True))
+    inst.run(cycles=3)
+    np.testing.assert_allclose(np.asarray(inst.variables[0]),
+                               fused.variables(0), rtol=1e-11, atol=1e-15)
+    # stats recorded for every kernel x level with the right counts
+    st = inst.stats
+    lvl0 = mesh.levels[0]
+    assert st.iters[("flux", 0)] == 3 * 3 * lvl0.num_internal_edges
+    assert st.iters[("compute_step", 0)] == 3 * lvl0.num_nodes
+    assert st.iters[("restrict", 0)] == 3 * lvl0.num_nodes
+    assert st.times[("flux", 0)] > 0
+    p1, p2 = inst.write_reports(str(tmp_path) + "/")
+    header = open(p1).read().splitlines()[0]
+    for col in ("Size,", "Mesh,", "MG cycles,", "flux0,", "prolong1,",
+                "Total,"):
+        assert col in header
+    rows = open(p2).read().splitlines()
+    assert len(rows) == 2
+
+
+def test_instrumented_fission_matches(dataset):
+    _, mesh = dataset
+    a = InstrumentedSolver(mesh, SolverConfig(dtype="float64"))
+    a.run(cycles=2)
+    b = InstrumentedSolver(mesh, SolverConfig(dtype="float64",
+                                              flux_fission=True))
+    b.run(cycles=2)
+    np.testing.assert_allclose(np.asarray(a.variables[0]),
+                               np.asarray(b.variables[0]),
+                               rtol=1e-12, atol=1e-15)
+    assert b.stats.iters[("update", 0)] > 0
+
+
+def test_identify_differences_tolerances():
+    master = np.array([[1.0, 1e-20, -2.0, 0.5, 3.0]])
+    ok = master * (1 + 5e-10)
+    assert identify_differences(ok, master, MeshVariant.M6_WING) == 0
+    bad = master.copy(); bad[0, 0] += 1e-7
+    assert identify_differences(bad, master, MeshVariant.M6_WING,
+                                raise_on_fail=False) == 1
+    # fvcorr's relaxed absolute floor forgives small absolute noise
+    noisy = master.copy(); noisy[0, 1] += 5e-16
+    assert identify_differences(noisy, master, MeshVariant.FVCORR,
+                                raise_on_fail=False) == 0
+    assert identify_differences(noisy, master, MeshVariant.M6_WING,
+                                raise_on_fail=False) == 1

@@ -1,0 +1,82 @@
+"""Sharded-solver tests on the 8-virtual-device CPU mesh: the SPMD path
+must reproduce the single-chip solution (which itself matches the scalar
+oracle and the reference binary)."""
+import jax
+import numpy as np
+import pytest
+
+from mgcfd_tpu.core.config import SolverConfig
+from mgcfd_tpu.core.constants import MeshVariant
+from mgcfd_tpu.core.types import MultigridMesh
+from mgcfd_tpu.mesh import generate_box_mesh, generate_multigrid_box
+from mgcfd_tpu.parallel import ShardedSolver, partition_mesh
+from mgcfd_tpu.solver import MGCFDSolver
+
+NDEV = len(jax.devices())
+
+
+@pytest.mark.skipif(NDEV < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("P", [2, 8])
+def test_sharded_single_level_matches_single_chip(P):
+    lvl = generate_box_mesh(8, 6, 6, h=(0.1, 0.1, 0.1), volume_jitter=0.2)
+    mesh = MultigridMesh(levels=[lvl], variant=MeshVariant.FVCORR)
+    ref = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    ref.run(cycles=4)
+
+    cfg = SolverConfig(dtype="float64", num_partitions=P)
+    sh = ShardedSolver(mesh, cfg)
+    sh.run(cycles=4)
+    np.testing.assert_allclose(sh.variables(0), ref.variables(0),
+                               rtol=1e-11, atol=1e-15)
+    np.testing.assert_allclose(sh.rms_history, ref.rms_history, rtol=1e-9)
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+def test_sharded_corrected_step_factor_pmin():
+    """The corrected step factor's global min must agree across the
+    sharded and single-chip paths (pmin vs jnp.min)."""
+    lvl = generate_box_mesh(8, 6, 6, h=(0.1, 0.1, 0.1), volume_jitter=0.4)
+    mesh = MultigridMesh(levels=[lvl], variant=MeshVariant.M6_WING)
+    ref = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    ref.run(cycles=3)
+    sh = ShardedSolver(mesh, SolverConfig(dtype="float64",
+                                          num_partitions=4))
+    sh.run(cycles=3)
+    np.testing.assert_allclose(sh.variables(0), ref.variables(0),
+                               rtol=1e-11, atol=1e-15)
+
+
+@pytest.mark.skipif(NDEV < 8, reason="needs 8 virtual devices")
+def test_sharded_multigrid_matches_single_chip():
+    mesh = generate_multigrid_box(8, 8, 8, 3, h=(0.1, 0.1, 0.1),
+                                  volume_jitter=0.2)
+    ref = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    ref.run(cycles=3)
+
+    sh = ShardedSolver(mesh, SolverConfig(dtype="float64",
+                                          num_partitions=8))
+    sh.run(cycles=3)
+    np.testing.assert_allclose(sh.variables(0), ref.variables(0),
+                               rtol=1e-10, atol=1e-14)
+    for l in (1, 2):
+        np.testing.assert_allclose(sh.variables(l), ref.variables(l),
+                                   rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(sh.rms_history, ref.rms_history, rtol=1e-8)
+
+
+def test_partition_covers_all_edges():
+    mesh = generate_multigrid_box(6, 6, 6, 2)
+    sm = partition_mesh(mesh, 4)
+    sd = sm.level0
+    lvl = mesh.levels[0]
+    # every internal edge owned exactly once: count real (non-padded) edges
+    total = 0
+    for p in range(4):
+        w = sd.edge_w[p]
+        total += int((np.abs(w).sum(axis=1) > 0).sum())
+    assert total == lvl.num_internal_edges
+
+
+def test_dryrun_entrypoint():
+    from mgcfd_tpu.parallel import dryrun
+    dryrun(min(8, NDEV))
