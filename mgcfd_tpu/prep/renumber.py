@@ -1,0 +1,93 @@
+"""Node renumbering for gather locality.
+
+The TPU flux kernel's performance lives on gather locality (arithmetic
+intensity < 1 flop/byte; SURVEY §6): after reverse-Cuthill-McKee
+renumbering, edge endpoints cluster near the diagonal, so gathers hit
+consecutive HBM lines and block-partitioning (parallel/) cuts fewer
+edges. Our synthetic box meshes are already well-ordered; RCM matters for
+imported real meshes.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.types import MeshLevel
+
+
+def rcm_order(num_nodes: int, edge_a: np.ndarray,
+              edge_b: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee via CSR adjacency + BFS with degree-sorted
+    neighbour visits. Returns `order` with order[new_id] = old_id."""
+    deg = np.bincount(edge_a, minlength=num_nodes) + np.bincount(
+        edge_b, minlength=num_nodes)
+    # CSR adjacency
+    starts = np.zeros(num_nodes + 1, np.int64)
+    np.cumsum(deg, out=starts[1:])
+    adj = np.empty(starts[-1], np.int64)
+    fill = starts[:-1].copy()
+    for u, v in ((edge_a, edge_b), (edge_b, edge_a)):
+        for i in range(len(u)):
+            a = u[i]
+            adj[fill[a]] = v[i]
+            fill[a] += 1
+
+    visited = np.zeros(num_nodes, bool)
+    order = np.empty(num_nodes, np.int64)
+    pos = 0
+    remaining = np.argsort(deg, kind="stable")
+    for seed in remaining:
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        order[pos] = seed
+        head = pos
+        pos += 1
+        while head < pos:
+            u = order[head]
+            head += 1
+            nbrs = adj[starts[u]:starts[u + 1]]
+            nbrs = nbrs[~visited[nbrs]]
+            if nbrs.size:
+                nbrs = np.unique(nbrs)
+                nbrs = nbrs[np.argsort(deg[nbrs], kind="stable")]
+                visited[nbrs] = True
+                order[pos:pos + nbrs.size] = nbrs
+                pos += nbrs.size
+    return order[::-1].copy()  # the "reverse" in RCM
+
+
+def apply_node_order(lvl: MeshLevel, order: np.ndarray,
+                     mg_from_above: np.ndarray | None = None) -> MeshLevel:
+    """Permute a level's node arrays so new_id i holds old node order[i].
+    Edges/mappings are re-indexed; edge and class ordering is preserved.
+
+    mg_from_above: the FINER level's mg_mapping into this level (if any) —
+    returned permuted values must be fixed by the caller; here we only fix
+    this level's own outgoing mg_mapping indices (values live in the next
+    level's namespace and are untouched)."""
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.shape[0])
+    new = dataclasses.replace(
+        lvl,
+        volumes=lvl.volumes[order],
+        coords=None if lvl.coords is None else lvl.coords[order],
+        edge_a=inv[lvl.edge_a].astype(np.int32),
+        edge_b=inv[lvl.edge_b].astype(np.int32),
+        bedge_b=inv[lvl.bedge_b].astype(np.int32),
+        wedge_b=inv[lvl.wedge_b].astype(np.int32),
+        mg_mapping=None if lvl.mg_mapping is None
+        else lvl.mg_mapping[order],
+    )
+    new.validate()
+    return new
+
+
+def locality_stats(lvl: MeshLevel) -> dict:
+    """Mean/max |a-b| index distance over internal edges — the knob RCM
+    turns; useful for deciding whether an imported mesh needs it."""
+    d = np.abs(lvl.edge_a.astype(np.int64) - lvl.edge_b.astype(np.int64))
+    return {"mean_span": float(d.mean()) if d.size else 0.0,
+            "max_span": int(d.max()) if d.size else 0,
+            "num_edges": int(d.size)}

@@ -50,6 +50,7 @@ class DeviceLevel:
     wedge_w: Any
     mg_mapping: Optional[Any]
     num_nodes: int
+    ell: Optional[Any] = None     # IncidenceTables with device arrays
 
 
 @dataclasses.dataclass
@@ -83,7 +84,15 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
         ewt = None
         if config.flux_precompute_edge_weights:
             ewt = put(np.sqrt((l.edge_w ** 2).sum(axis=1)))
+        ell = None
+        if config.accumulate == "ell":
+            from ..prep.incidence import build_incidence
+            import dataclasses as _dc
+            t = build_incidence(l)
+            ell = _dc.replace(t, slots=put(t.slots, jnp.int32),
+                              signs=put(t.signs, jnp.int8))
         dlevels.append(DeviceLevel(
+            ell=ell,
             volumes=put(l.volumes),
             coords=None if l.coords is None else put(l.coords),
             edge_a=put(l.edge_a, jnp.int32),
@@ -114,6 +123,9 @@ def _compute_fluxes(lvl: DeviceLevel, variables, ff_flux, config):
     val_i = internal_edge_flux(q_a, q_b, lvl.edge_w, lvl.edge_ewt)
     val_bd = boundary_edge_flux(variables[lvl.bedge_b], lvl.bedge_w)
     val_w = wall_edge_flux(variables[lvl.wedge_b], lvl.wedge_w, ff_flux)
+    if config.accumulate == "ell" and lvl.ell is not None:
+        from ..prep.incidence import ell_accumulate
+        return ell_accumulate(lvl.ell, val_i, val_bd, val_w)
     return accumulate_flux(
         lvl.num_nodes, lvl.edge_a, lvl.edge_b, val_i,
         lvl.bedge_b, val_bd, lvl.wedge_b, val_w,
