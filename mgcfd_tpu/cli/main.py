@@ -109,7 +109,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", default=None, metavar="NX,NY,NZ,L",
                    help="run on a generated box mesh instead of -i")
     p.add_argument("--accumulate", default=None,
-                   choices=["segment", "scatter"])
+                   choices=["segment", "scatter", "ell", "pallas"])
+    # kernel variants (reference compile-time macros as runtime switches)
+    p.add_argument("--flux-cripple", action="store_true",
+                   help="also run the arithmetic-free flux twin "
+                        "(FLUX_CRIPPLE)")
+    p.add_argument("--flux-precompute-edge-weights", action="store_true",
+                   help="precompute |edge normal| "
+                        "(FLUX_PRECOMPUTE_EDGE_WEIGHTS)")
+    p.add_argument("--flux-fission", action="store_true",
+                   help="two-phase flux: per-edge store + update "
+                        "(FLUX_FISSION)")
+    p.add_argument("--no-indirect-rw", action="store_true",
+                   help="skip the indirect_rw data-movement twin")
     p.add_argument("--platform", default=None,
                    help="jax platform override, e.g. cpu (useful when the "
                         "TPU is held by another process)")
@@ -147,6 +159,11 @@ def main(argv=None) -> int:
         cfg.monitor_mode = args.monitor
     if args.accumulate:
         cfg.accumulate = args.accumulate
+    cfg.flux_cripple |= args.flux_cripple
+    cfg.flux_precompute_edge_weights |= args.flux_precompute_edge_weights
+    cfg.flux_fission |= args.flux_fission
+    if args.no_indirect_rw:
+        cfg.include_indirect_rw = False
 
     # --- load mesh ---
     if args.synthetic:

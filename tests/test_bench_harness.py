@@ -1,0 +1,72 @@
+"""Job generation + aggregation harness, end to end."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from mgcfd_tpu.bench.gen_job import (flag_sets, generate_jobs, job_name,
+                                     estimate_walltime)
+from mgcfd_tpu.bench.aggregate import collate, aggregate, write_combined
+
+
+def test_flag_sets_pruning():
+    sets = flag_sets(["FLUX_CRIPPLE", "FLUX_PRECOMPUTE_EDGE_WEIGHTS",
+                      "FLUX_FISSION"], 0)
+    # powerset of 3 = 8, minus the 3 supersets containing FLUX_CRIPPLE
+    # with company
+    assert len(sets) == 5
+    for s in sets:
+        if "FLUX_CRIPPLE" in s:
+            assert len(s) == 1
+
+
+def test_walltime_floor():
+    assert estimate_walltime(0.001, 1, 1, 1) == 60
+    assert estimate_walltime(10, 10, 2, 4) == 100
+
+
+def test_generate_and_aggregate(tmp_path):
+    profile = {
+        "compile": {"dtypes": ["float64"], "accumulate": ["segment"],
+                    "flux flags": []},
+        "run": {"partitions": [1], "num repeats": 2, "mg cycles": 2,
+                "platform": "cpu"},
+        "setup": {"jobs dir": str(tmp_path / "jobs"),
+                  "synthetic": "5,5,5,2"},
+    }
+    ppath = tmp_path / "profile.json"
+    ppath.write_text(json.dumps(profile))
+    jobs_dir = generate_jobs(str(ppath), repo_root=os.getcwd())
+    subs = sorted(os.listdir(jobs_dir))
+    assert "submit_all.sh" in subs and "list_errored_jobs.sh" in subs
+    job_dirs = [d for d in subs if os.path.isdir(os.path.join(jobs_dir, d))]
+    assert len(job_dirs) == 2  # two repeats
+
+    # run the whole batch through submit_all.sh (the real flow)
+    r = subprocess.run(["bash", os.path.join(jobs_dir, "submit_all.sh")],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    for d in job_dirs:
+        assert os.path.exists(os.path.join(jobs_dir, d, "Times.csv")), \
+            open(os.path.join(jobs_dir, d, "run.log")).read()[-2000:]
+        assert os.path.exists(os.path.join(jobs_dir, d,
+                                           "job-is-complete.txt"))
+
+    # idempotence: re-running skips
+    r2 = subprocess.run(["bash", os.path.join(jobs_dir, job_dirs[0],
+                                              "run.sh")],
+                        capture_output=True, text=True, timeout=60)
+    assert "already complete" in r2.stdout
+
+    records = collate(jobs_dir)
+    assert records
+    rows = aggregate(records)
+    flux_rows = [r for r in rows if r["kernel"] == "flux"
+                 and r["level"] == 0]
+    assert len(flux_rows) == 1          # repeats merged
+    assert flux_rows[0]["num repeats"] == 2
+    assert flux_rows[0]["iters/sec"] > 0
+    out = write_combined(str(tmp_path / "combined.csv"), rows)
+    assert os.path.getsize(out) > 0
