@@ -1,0 +1,140 @@
+"""ctypes bindings + on-demand build of the native mesh parser.
+
+The shared library is compiled once per checkout (g++ -O3 -shared) into
+native/_build/ and loaded via ctypes; if the toolchain is unavailable the
+callers fall back to the pure-Python parser (mesh/io_dat.py) — same
+semantics, ~20x slower on million-edge meshes.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BUILD_DIR = os.path.join(_HERE, "_build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libmgcfd_native.so")
+_SRC = os.path.join(_HERE, "mesh_parser.cpp")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+class _ParsedMesh(ctypes.Structure):
+    _fields_ = [
+        ("num_nodes", ctypes.c_int64),
+        ("num_internal", ctypes.c_int64),
+        ("num_boundary", ctypes.c_int64),
+        ("num_wall", ctypes.c_int64),
+        ("volumes", ctypes.POINTER(ctypes.c_double)),
+        ("edge_a", ctypes.POINTER(ctypes.c_int32)),
+        ("edge_b", ctypes.POINTER(ctypes.c_int32)),
+        ("edge_w", ctypes.POINTER(ctypes.c_double)),
+        ("bedge_b", ctypes.POINTER(ctypes.c_int32)),
+        ("bedge_w", ctypes.POINTER(ctypes.c_double)),
+        ("wedge_b", ctypes.POINTER(ctypes.c_int32)),
+        ("wedge_w", ctypes.POINTER(ctypes.c_double)),
+    ]
+
+
+def _ensure_built():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB_PATH)
+                    or os.path.getmtime(_LIB_PATH)
+                    < os.path.getmtime(_SRC)):
+                os.makedirs(_BUILD_DIR, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC,
+                     "-o", _LIB_PATH],
+                    check=True, capture_output=True, timeout=300)
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.mgcfd_parse_dat.restype = ctypes.POINTER(_ParsedMesh)
+            lib.mgcfd_parse_dat.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            lib.mgcfd_parse_coords.restype = ctypes.c_int
+            lib.mgcfd_parse_coords.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64]
+            lib.mgcfd_parse_mg.restype = ctypes.c_int64
+            lib.mgcfd_parse_mg.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64]
+            lib.mgcfd_free_mesh.argtypes = [ctypes.POINTER(_ParsedMesh)]
+            _lib = lib
+        except Exception:
+            _build_failed = True
+        return _lib
+
+
+def native_available() -> bool:
+    return _ensure_built() is not None
+
+
+def _copy(ptr, count, dtype):
+    if count == 0:
+        return np.zeros(0 if dtype != np.float64 else 0, dtype=dtype)
+    return np.ctypeslib.as_array(ptr, shape=(count,)).astype(dtype,
+                                                            copy=True)
+
+
+def parse_dat_native(path: str, flip_all: bool, need_coords: bool):
+    """-> MeshLevel or None if the native library is unavailable."""
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    from ..core.types import MeshLevel
+
+    pm = lib.mgcfd_parse_dat(path.encode(), 1 if flip_all else 0)
+    if not pm:
+        raise IOError(f"native parser failed on {path}")
+    try:
+        m = pm.contents
+        ei, eb, ew = m.num_internal, m.num_boundary, m.num_wall
+        lvl = MeshLevel(
+            volumes=_copy(m.volumes, m.num_nodes, np.float64),
+            coords=None,
+            edge_a=_copy(m.edge_a, ei, np.int32),
+            edge_b=_copy(m.edge_b, ei, np.int32),
+            edge_w=_copy(m.edge_w, 3 * ei, np.float64).reshape(ei, 3),
+            bedge_b=_copy(m.bedge_b, eb, np.int32),
+            bedge_w=_copy(m.bedge_w, 3 * eb, np.float64).reshape(eb, 3),
+            wedge_b=_copy(m.wedge_b, ew, np.int32),
+            wedge_w=_copy(m.wedge_w, 3 * ew, np.float64).reshape(ew, 3),
+        )
+    finally:
+        lib.mgcfd_free_mesh(pm)
+
+    coords_path = path + ".coords"
+    if need_coords and os.path.exists(coords_path):
+        coords = np.empty((lvl.num_nodes, 3), np.float64)
+        rc = lib.mgcfd_parse_coords(
+            coords_path.encode(),
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            lvl.num_nodes)
+        if rc != 0:
+            raise IOError(f"native coords parse failed: {coords_path}")
+        lvl.coords = coords
+    return lvl
+
+
+def parse_mg_native(path: str):
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    count = lib.mgcfd_parse_mg(path.encode(), None, 0)
+    if count < 0:
+        raise IOError(f"native mg parse failed: {path}")
+    out = np.empty(count, np.int64)
+    got = lib.mgcfd_parse_mg(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        count)
+    if got != count:
+        raise IOError(f"native mg parse failed: {path}")
+    return out
