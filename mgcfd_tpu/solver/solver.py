@@ -51,6 +51,7 @@ class DeviceLevel:
     mg_mapping: Optional[Any]
     num_nodes: int
     ell: Optional[Any] = None     # IncidenceTables with device arrays
+    shift: Optional[Any] = None   # (deltas, [weights], (sa, sb, sw))
 
 
 @dataclasses.dataclass
@@ -91,8 +92,16 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
             t = build_incidence(l)
             ell = _dc.replace(t, slots=put(t.slots, jnp.int32),
                               signs=put(t.signs, jnp.int8))
+        shift = None
+        if config.accumulate == "shift":
+            from ..prep.shift import build_shift_plan
+            plan = build_shift_plan(l)
+            shift = (plan.deltas, [put(w) for w in plan.weights],
+                     (put(plan.spill_a, jnp.int32),
+                      put(plan.spill_b, jnp.int32),
+                      put(plan.spill_w)))
         dlevels.append(DeviceLevel(
-            ell=ell,
+            ell=ell, shift=shift,
             volumes=put(l.volumes),
             coords=None if l.coords is None else put(l.coords),
             edge_a=put(l.edge_a, jnp.int32),
@@ -118,6 +127,19 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
 
 def _compute_fluxes(lvl: DeviceLevel, variables, ff_flux, config):
     """One flux evaluation: internal + boundary + wall, accumulated."""
+    if config.accumulate == "shift" and lvl.shift is not None:
+        from ..prep.shift import shift_flux
+        deltas, weights, spill = lvl.shift
+        flux = shift_flux(deltas, weights, spill, variables,
+                          internal_edge_flux, lvl.num_nodes)
+        val_bd = boundary_edge_flux(variables[lvl.bedge_b], lvl.bedge_w)
+        val_w = wall_edge_flux(variables[lvl.wedge_b], lvl.wedge_w,
+                               ff_flux)
+        flux = flux + jax.ops.segment_sum(
+            jnp.concatenate([val_bd, val_w]),
+            jnp.concatenate([lvl.bedge_b, lvl.wedge_b]),
+            num_segments=lvl.num_nodes)
+        return flux
     q_a = variables[lvl.edge_a]
     q_b = variables[lvl.edge_b]
     val_i = internal_edge_flux(q_a, q_b, lvl.edge_w, lvl.edge_ewt)
