@@ -122,6 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(FLUX_FISSION)")
     p.add_argument("--no-indirect-rw", action="store_true",
                    help="skip the indirect_rw data-movement twin")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   metavar="CYCLES")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in "
+                        "--checkpoint-dir")
     p.add_argument("--platform", default=None,
                    help="jax platform override, e.g. cpu (useful when the "
                         "TPU is held by another process)")
@@ -164,6 +170,11 @@ def main(argv=None) -> int:
     cfg.flux_fission |= args.flux_fission
     if args.no_indirect_rw:
         cfg.include_indirect_rw = False
+    if args.checkpoint_dir is not None:
+        cfg.checkpoint_dir = args.checkpoint_dir
+    if args.checkpoint_every is not None:
+        cfg.checkpoint_every = args.checkpoint_every
+    cfg.resume |= args.resume
 
     # --- load mesh ---
     if args.synthetic:
@@ -196,7 +207,11 @@ def main(argv=None) -> int:
     else:
         from ..solver import MGCFDSolver
         solver = MGCFDSolver(mesh, cfg)
-        solver.run(cfg.num_cycles, verbose=True)
+        remaining = max(0, cfg.num_cycles - solver.completed_cycles)
+        if remaining < cfg.num_cycles:
+            print(f"Resumed at cycle {solver.completed_cycles}; "
+                  f"running {remaining} more")
+        solver.run(remaining, verbose=True)
         stats = None
     total = time.time() - t0
     print(f"Total runtime = {total}")

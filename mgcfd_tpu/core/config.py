@@ -35,6 +35,11 @@ class SolverConfig:
     flux_reuse_flux: bool = False     # FLUX_REUSE_FLUX (b-side = -a-side)
     include_indirect_rw: bool = True  # reference always runs it in the RK loop
 
+    # --- checkpoint / resume (new capability; SURVEY 5.4) ---
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 0         # cycles between snapshots (0 = off)
+    resume: bool = False              # resume from latest checkpoint
+
     # --- TPU-specific policy (new; no reference counterpart) ---
     dtype: str = "float32"            # float64 for validation, float32/bf16 perf
     accumulate: str = "segment"       # 'segment' | 'scatter' | 'ell' | 'pallas'

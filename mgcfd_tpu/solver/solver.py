@@ -283,10 +283,20 @@ class MGCFDSolver:
         }
         self._cycle = make_cycle_fn(self.dmesh, self.config)
         self.rms_history: list[float] = []
+        self.completed_cycles = 0
+        if self.config.resume and self.config.checkpoint_dir:
+            from ..utils.checkpoint import latest_checkpoint, \
+                load_checkpoint
+            path = latest_checkpoint(self.config.checkpoint_dir)
+            if path is not None:
+                self.state, self.completed_cycles, self.rms_history = \
+                    load_checkpoint(path, mesh, self.dtype)
 
     def run(self, cycles: int | None = None, verbose: bool = False):
+        """Run `cycles` more V-cycles (checkpoint cadence per config)."""
         cycles = cycles if cycles is not None else self.config.num_cycles
         check_every = max(1, self.config.check_invalid_every)
+        ck_every = self.config.checkpoint_every
         for i in range(cycles):
             self.state, rms, invalid, _tok = self._cycle(self.state)
             if (i + 1) % check_every == 0 or i == cycles - 1:
@@ -300,6 +310,13 @@ class MGCFDSolver:
                 if verbose:
                     print(f"MG cycle {i + 1} / {cycles} "
                           f"(RMS = {float(rms):.3e})")
+            self.completed_cycles += 1
+            if (ck_every and self.config.checkpoint_dir
+                    and self.completed_cycles % ck_every == 0):
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(self.config.checkpoint_dir, self.mesh,
+                                self.state, self.completed_cycles,
+                                self.rms_history)
         return self.state
 
     def variables(self, level: int = 0) -> np.ndarray:
