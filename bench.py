@@ -29,6 +29,26 @@ CPU_BASELINE_VCYCLE_SEC = 0.2433
 CPU_BASELINE_RW_EDGES_PER_SEC = 128.6e6
 
 
+def _wait_for_device(max_wait_sec=900):
+    """The axon TPU tunnel on this machine wedges for minutes if two
+    processes ever raced it; poll in subprocesses until the backend is
+    usable so the driver's round-end bench never dies to a stale lease.
+    Falls back to CPU (flagged in the output) as a last resort."""
+    import subprocess
+    import sys
+    deadline = time.time() + max_wait_sec
+    while time.time() < deadline:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices()"],
+            capture_output=True, timeout=180)
+        if r.returncode == 0:
+            return True
+        time.sleep(20)
+    jax.config.update("jax_platforms", "cpu")
+    return False
+
+
 def _time(fn, *args, reps=30):
     out = jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
@@ -39,6 +59,7 @@ def _time(fn, *args, reps=30):
 
 
 def main():
+    _wait_for_device()
     mesh = flagship_mesh()
     n_edges = mesh.levels[0].num_internal_edges
 

@@ -109,7 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", default=None, metavar="NX,NY,NZ,L",
                    help="run on a generated box mesh instead of -i")
     p.add_argument("--accumulate", default=None,
-                   choices=["segment", "scatter", "ell", "pallas"])
+                   choices=["segment", "scatter", "ell", "shift",
+                            "pallas"])
     # kernel variants (reference compile-time macros as runtime switches)
     p.add_argument("--flux-cripple", action="store_true",
                    help="also run the arithmetic-free flux twin "

@@ -43,7 +43,8 @@ from .partition import partition_mesh, ShardedMeshData
 AXIS = "x"
 
 
-def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype):
+def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
+                   config):
     """One smoothing pass on the sharded finest level.
     variables: (B, NVAR) block. Returns (variables, old, res, invalid)."""
     volumes = const["volumes"]
@@ -60,17 +61,26 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype):
         sf = min_dt / volumes
 
     invalid = jnp.int32(0)
+    rw_token = jnp.zeros((), variables.dtype)
     B = variables.shape[0]
     pool_sz = sd.P * sd.smax
-    for j in range(RK):
-        # halo in: gather own separator values, all_gather the pool
-        sep_vals = variables[const["sep_idx"]]          # (Smax, NVAR)
-        pool = jax.lax.all_gather(sep_vals, AXIS)       # (P, Smax, NVAR)
-        combined = jnp.concatenate(
-            [variables, pool.reshape(pool_sz, NVAR)], axis=0)
 
+    def exchange(v):
+        """halo in: gather own separator values, all_gather the pool."""
+        sep_vals = v[const["sep_idx"]]                  # (Smax, NVAR)
+        pool = jax.lax.all_gather(sep_vals, AXIS)       # (P, Smax, NVAR)
+        return jnp.concatenate([v, pool.reshape(pool_sz, NVAR)], axis=0)
+
+    for j in range(RK):
+        combined = exchange(variables)
         q_a = combined[const["edge_a"]]
         q_b = combined[const["edge_b"]]
+        if config.flux_cripple:
+            from ..ops import internal_edge_flux_crippled
+            crippled = internal_edge_flux_crippled(q_a, q_b,
+                                                   const["edge_w"])
+            rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
+                (), variables.dtype)
         val = internal_edge_flux(q_a, q_b, const["edge_w"])
         val_bd = boundary_edge_flux(variables[const["bedge_b"]],
                                     const["bedge_w"])
@@ -96,8 +106,26 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype):
         invalid = invalid + invalid_variables_count(
             variables * node_mask[:, None])
 
+        if config.include_indirect_rw:
+            # the data-movement twin, with the same halo traffic; its
+            # accumulation is reduced to a token (writes discarded, as in
+            # the reference's zero_fluxes after indirect_rw)
+            from ..ops import indirect_rw_edge_values
+            comb2 = exchange(variables)
+            va, vb = indirect_rw_edge_values(comb2[const["edge_a"]],
+                                             comb2[const["edge_b"]],
+                                             const["edge_w"])
+            dest = jnp.concatenate([const["edge_a"], const["edge_b"]])
+            seg = jax.ops.segment_sum(jnp.concatenate([va, vb]), dest,
+                                      num_segments=B + pool_sz)
+            recv = jax.lax.psum_scatter(
+                seg[B:].reshape(sd.P, sd.smax, NVAR), AXIS,
+                scatter_dimension=0)
+            rw_token = rw_token + jnp.sum(seg[:B]) + jnp.sum(
+                recv * const["sep_mask"][:, None])
+
     res = residual(old, variables)
-    return variables, old, res, jax.lax.psum(invalid, AXIS)
+    return variables, old, res, jax.lax.psum(invalid, AXIS), rw_token
 
 
 def _sharded_restrict(sd, const, variables_block, coarse_vars):
@@ -216,8 +244,8 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
 
         def visit_fine(v):
             nonlocal invalid_total
-            v, old, r, inv = _sharded_visit(sd, const, v, ff_flux, legacy,
-                                            dtype)
+            v, old, r, inv, _tok = _sharded_visit(sd, const, v, ff_flux,
+                                                  legacy, dtype, config)
             invalid_total = invalid_total + inv
             return v, r
 
