@@ -65,13 +65,14 @@ def read_config_file(path: str, cfg: SolverConfig) -> None:
                 cfg.output_fluxes = value == "Y"
             elif key == "output_volumes":
                 cfg.output_volumes = value == "Y"
+            elif key == "output_edge_fluxes":
+                cfg.output_edge_fluxes = value == "Y"
             elif key == "dtype":
                 cfg.dtype = value
             elif key == "partitions":
                 cfg.num_partitions = int(value)
             elif key in ("papi_config_file", "omp_num_threads",
-                         "output_old_variables", "output_edge_fluxes",
-                         "config_filepath"):
+                         "output_old_variables", "config_filepath"):
                 pass  # accepted for reference compatibility
             else:
                 print(f"WARNING: Unknown key '{key}' encountered during "
@@ -99,6 +100,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-fluxes", action="store_true")
     p.add_argument("--output-step-factors", action="store_true")
     p.add_argument("--output-volumes", action="store_true")
+    p.add_argument("--output-edge-fluxes", action="store_true")
     # TPU-era options
     p.add_argument("--dtype", default=None,
                    choices=["float32", "float64", "bfloat16"])
@@ -158,6 +160,7 @@ def main(argv=None) -> int:
     cfg.output_fluxes |= args.output_fluxes
     cfg.output_step_factors |= args.output_step_factors
     cfg.output_volumes |= args.output_volumes
+    cfg.output_edge_fluxes |= args.output_edge_fluxes
     if args.dtype:
         cfg.dtype = args.dtype
     if args.partitions:
@@ -247,12 +250,34 @@ def main(argv=None) -> int:
         path = output_filepath(cfg.output_file_prefix, "volumes",
                                cfg.mesh_duplicate_count, cfg.num_cycles, 0)
         dump_scalars(path, mesh.levels[0].volumes)
+    if cfg.output_edge_fluxes and hasattr(solver, "dmesh"):
+        import numpy as _np
+        from ..core.constants import far_field_state
+        from ..ops import (internal_edge_flux, boundary_edge_flux,
+                           wall_edge_flux)
+        from .. import validate as _v
+        from ..validate.golden import dump_edge_fluxes
+        lvl = solver.dmesh.levels[0]
+        import jax.numpy as jnp
+        v0 = jnp.asarray(solver.variables(0))
+        vi = _np.asarray(internal_edge_flux(v0[lvl.edge_a],
+                                            v0[lvl.edge_b], lvl.edge_w))
+        vb = _np.asarray(boundary_edge_flux(v0[lvl.bedge_b], lvl.bedge_w))
+        _, ff = far_field_state()
+        vw = _np.asarray(wall_edge_flux(v0[lvl.wedge_b], lvl.wedge_w,
+                                        jnp.asarray(ff, v0.dtype)))
+        paths = dump_edge_fluxes(cfg.output_file_prefix,
+                                 cfg.mesh_duplicate_count,
+                                 cfg.num_cycles, 0, vi, vb, vw)
+        print(f"Dumped edge fluxes: {len(paths)} files")
 
     # --- monitoring reports ---
     if stats is not None:
-        p1, p2 = solver.write_reports(cfg.output_file_prefix)
-        print(f"Loop runtimes written to: {p1}")
-        print(f"Loop stats written to: {p2}")
+        paths = solver.write_reports(cfg.output_file_prefix)
+        print(f"Loop runtimes written to: {paths[0]}")
+        print(f"Loop stats written to: {paths[1]}")
+        if len(paths) > 2:
+            print(f"Cost analysis written to: {paths[2]}")
 
     return 0
 

@@ -119,3 +119,30 @@ def write_loop_stats_csv(prefix: str, ident: CsvIdentification,
                          iters: dict, num_levels: int) -> str:
     return _write_wide_csv(_output_path(prefix, "LoopNumIters.csv"), ident,
                            iters, num_levels, None)
+
+
+def write_costs_csv(prefix: str, ident: CsvIdentification,
+                    flops: dict, bytes_accessed: dict,
+                    num_levels: int) -> str:
+    """XLACosts.csv — the PAPI.csv analogue. PAPI hardware counters don't
+    exist for TPU user code; the compiler's cost analysis provides the
+    same per-kernel flop/byte attribution the reference derived from
+    PAPI_TOT_INS + objdump (aggregate-output-data.py:499-540). Format
+    mirrors PAPI.csv: one row per 'event', kernel x level columns."""
+    filepath = _output_path(prefix, "XLACosts.csv")
+    header = ident.header() + "ThreadNum,CpuId,Event,"
+    for l in range(num_levels):
+        for k in KERNEL_COLUMNS:
+            header += f"{k}{l},"
+    lines = [header]
+    for event, data in (("XLA_FLOPS_ESTIMATE", flops),
+                        ("XLA_BYTES_ACCESSED_ESTIMATE", bytes_accessed)):
+        row = ident.row() + f"0,0,{event},"
+        for l in range(num_levels):
+            for k in KERNEL_COLUMNS:
+                row += f"{data.get((k, l), 0)},"
+        lines.append(row)
+    os.makedirs(os.path.dirname(filepath) or ".", exist_ok=True)
+    with open(filepath, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return filepath

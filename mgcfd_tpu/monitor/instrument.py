@@ -155,7 +155,6 @@ class InstrumentedSolver:
         """XLA cost analysis per compiled kernel (PAPI-counter analogue)."""
         for l, lvl in enumerate(self.dmesh.levels):
             v = self.variables[l]
-            sf = self.k[("compute_step", l)](v)
             examples = {
                 "compute_step": (v,),
                 "flux": (v,),
@@ -220,12 +219,19 @@ class InstrumentedSolver:
         self.stats.total_time = time.perf_counter() - t_start
         return self.stats
 
-    def write_reports(self, prefix: str = ""):
+    def write_reports(self, prefix: str = "", include_costs: bool = True):
         from .csvout import (CsvIdentification, write_times_csv,
-                             write_loop_stats_csv)
+                             write_loop_stats_csv, write_costs_csv)
         ident = CsvIdentification.build(self.config, self.mesh)
         L = len(self.dmesh.levels)
         p1 = write_times_csv(prefix, ident, dict(self.stats.times), L,
                              self.stats.total_time)
         p2 = write_loop_stats_csv(prefix, ident, dict(self.stats.iters), L)
-        return p1, p2
+        paths = [p1, p2]
+        if include_costs:
+            if not self.stats.flops:
+                self.record_costs()
+            paths.append(write_costs_csv(
+                prefix, ident, dict(self.stats.flops),
+                dict(self.stats.bytes_accessed), L))
+        return tuple(paths)

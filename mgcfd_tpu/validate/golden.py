@@ -54,6 +54,38 @@ def read_solution(path: str, nel: int, ncol: int = NVAR) -> np.ndarray:
     return np.loadtxt(path).reshape(nel, ncol)
 
 
+def dump_edge_fluxes(prefix: str, m: int, cycles: int, level: int,
+                     val_internal: np.ndarray,
+                     val_boundary: np.ndarray,
+                     val_wall: np.ndarray) -> list[str]:
+    """Per-edge flux dumps: five files (edge_p/_mx/_my/_mz/_pe), one
+    "a b" pair per edge, internal then boundary then wall region order
+    (dump_edge_fluxes, io_enhanced.cpp:672-789). Internal b-side is the
+    exact negation of the a-side; boundary/wall edges have no a-side
+    (zeroed, as the reference's zero_edges leaves them).
+
+    Caller provides per-edge values; the CLI recomputes them from the
+    FINAL variables, whereas the reference dumps the last RK stage's
+    values (computed from that stage's start state) — a one-stage
+    divergence in this debugging aid, documented here deliberately."""
+    names = {0: "edge_p", 1: "edge_mx", 2: "edge_my", 3: "edge_mz",
+             4: "edge_pe"}
+    zeros_b = np.zeros(val_boundary.shape[0])
+    zeros_w = np.zeros(val_wall.shape[0])
+    paths = []
+    for v, name in names.items():
+        a_col = np.concatenate([val_internal[:, v], zeros_b, zeros_w])
+        b_col = np.concatenate([-val_internal[:, v], val_boundary[:, v],
+                                val_wall[:, v]])
+        path = output_filepath(prefix, name, m, cycles, level)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            for a, b in zip(a_col, b_col):
+                f.write(f"{a:.17e} {b:.17e}\n")
+        paths.append(path)
+    return paths
+
+
 class ValidationError(AssertionError):
     pass
 

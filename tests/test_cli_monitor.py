@@ -103,13 +103,18 @@ def test_instrumented_matches_fused(dataset, tmp_path):
     assert st.iters[("compute_step", 0)] == 3 * lvl0.num_nodes
     assert st.iters[("restrict", 0)] == 3 * lvl0.num_nodes
     assert st.times[("flux", 0)] > 0
-    p1, p2 = inst.write_reports(str(tmp_path) + "/")
+    p1, p2, p3 = inst.write_reports(str(tmp_path) + "/")
     header = open(p1).read().splitlines()[0]
     for col in ("Size,", "Mesh,", "MG cycles,", "flux0,", "prolong1,",
                 "Total,"):
         assert col in header
     rows = open(p2).read().splitlines()
     assert len(rows) == 2
+    # XLACosts.csv: two event rows with positive flux flop estimates
+    cost_rows = open(p3).read().splitlines()
+    assert len(cost_rows) == 3
+    assert "XLA_FLOPS_ESTIMATE" in cost_rows[1]
+    assert "XLA_BYTES_ACCESSED_ESTIMATE" in cost_rows[2]
 
 
 def test_instrumented_fission_matches(dataset):
