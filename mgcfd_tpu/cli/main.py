@@ -134,6 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="jax platform override, e.g. cpu (useful when the "
                         "TPU is held by another process)")
+    p.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of one extra "
+                        "V-cycle after the run (view with xprof/"
+                        "tensorboard)")
     return p
 
 
@@ -219,6 +223,12 @@ def main(argv=None) -> int:
         stats = None
     total = time.time() - t0
     print(f"Total runtime = {total}")
+
+    if args.profile_dir and hasattr(solver, "run"):
+        import jax
+        with jax.profiler.trace(args.profile_dir):
+            solver.run(1)
+        print(f"Profiler trace written to: {args.profile_dir}")
 
     # --- validation (euler3d_cpu_double.cpp:704-744) ---
     if cfg.validate_result:

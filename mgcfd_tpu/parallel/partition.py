@@ -75,6 +75,15 @@ class ShardedLevelData:
     pro_live_a: np.ndarray | None = None   # (P, E) 1.0 unless a2 coincident/pad
     pro_live_b: np.ndarray | None = None   # (P, E)
     parent: np.ndarray | None = None       # (P, B) int32 coarse parent (safe)
+    # shift decomposition of shard-local edges (accumulate='shift'):
+    # spans shared across shards; covered edges leave the edge_a/edge_b
+    # stream (replaced by degenerate padding) and live in dense diagonals
+    shift_deltas: list | None = None       # [d0, d1, ...]
+    shift_w: np.ndarray | None = None      # (P, D, B, 3) dense weights
+    # prolongation needs ALL fine internal edges regardless of the flux
+    # stream's shift coverage: its own full destination stream
+    pro_dest_a: np.ndarray | None = None   # (P, Efull) int32 combined idx
+    pro_dest_b: np.ndarray | None = None   # (P, Efull)
     # sizes
     num_nodes: int = 0
     block: int = 0
@@ -92,7 +101,10 @@ class ShardedMeshData:
     P: int
 
 
-def partition_level(lvl: MeshLevel, P: int) -> ShardedLevelData:
+def partition_level(lvl: MeshLevel, P: int,
+                    use_shift: bool = False,
+                    shift_max_deltas: int = 8,
+                    shift_min_density: float = 0.01) -> ShardedLevelData:
     n = lvl.num_nodes
     B = -(-n // P)
 
@@ -104,6 +116,40 @@ def partition_level(lvl: MeshLevel, P: int) -> ShardedLevelData:
 
     pa, pb = part(lvl.edge_a), part(lvl.edge_b)
     owner = pa
+
+    # --- shift decomposition of shard-local edges ------------------------
+    # Edges whose endpoints share a block and whose index span is common
+    # move into dense per-span diagonals (see prep/shift.py); the rest
+    # stay in the indexed stream. Spans are chosen globally so every
+    # shard shares the same delta list (static shapes across the mesh).
+    ea = lvl.edge_a.astype(np.int64)
+    eb = lvl.edge_b.astype(np.int64)
+    span = eb - ea
+    eligible = (pb == owner) & (span > 0) & (span < B) \
+        & (local(ea) + span < B)
+    cnt = np.bincount(span[eligible], minlength=1)
+    order_d = np.argsort(cnt)[::-1]
+    deltas = [] if not use_shift else [
+        int(d) for d in order_d[:shift_max_deltas]
+        if d > 0 and cnt[d] >= max(1, shift_min_density * n)]
+    covered = np.zeros(ea.shape[0], dtype=bool)
+    shift_w = np.zeros((P, max(1, len(deltas)), B, 3))
+    for di, d in enumerate(deltas):
+        sel = np.flatnonzero(eligible & (span == d) & ~covered)
+        rows = owner[sel].astype(np.int64) * 0  # placeholder
+        la = local(ea[sel])
+        # dedup (owner, local_a) per delta: first wins, rest spill
+        key = owner[sel].astype(np.int64) * B + la
+        first_mask = np.zeros(P * B, dtype=bool)
+        keep = []
+        for i, k in zip(sel, key):
+            if first_mask[k]:
+                continue
+            first_mask[k] = True
+            keep.append(i)
+        keep = np.array(keep, dtype=np.int64)
+        shift_w[owner[keep], di, local(ea[keep])] = lvl.edge_w[keep]
+        covered[keep] = True
 
     # --- separator sets: nodes referenced by edges owned elsewhere ---
     sep_sets = [set() for _ in range(P)]
@@ -133,13 +179,14 @@ def partition_level(lvl: MeshLevel, P: int) -> ShardedLevelData:
             [sep_rank.get(int(x), 0) for x in node_arr], dtype=np.int64)
         return np.where(is_local, loc, pool).astype(np.int32)
 
-    # --- per-shard edge lists ---
-    emax = max(1, int(np.bincount(owner, minlength=P).max()))
+    # --- per-shard edge lists (uncovered edges only: the covered ones
+    # live in the dense shift diagonals) ---
+    emax = max(1, int(np.bincount(owner[~covered], minlength=P).max()))
     edge_a = np.zeros((P, emax), np.int32)
     edge_b = np.zeros((P, emax), np.int32)
     edge_w = np.zeros((P, emax, 3))
     for p in range(P):
-        sel = owner == p
+        sel = (owner == p) & ~covered
         a = combined_index(lvl.edge_a[sel].astype(np.int64),
                            np.full(sel.sum(), p))
         b = combined_index(lvl.edge_b[sel].astype(np.int64),
@@ -165,6 +212,16 @@ def partition_level(lvl: MeshLevel, P: int) -> ShardedLevelData:
     bedge_b, bedge_w = local_edges(lvl.bedge_b.astype(np.int64), lvl.bedge_w)
     wedge_b, wedge_w = local_edges(lvl.wedge_b.astype(np.int64), lvl.wedge_w)
 
+    # full destination stream (covered + uncovered) for prolongation
+    efull = max(1, int(np.bincount(owner, minlength=P).max()))
+    pro_dest_a = np.zeros((P, efull), np.int32)
+    pro_dest_b = np.zeros((P, efull), np.int32)
+    for p in range(P):
+        sel = owner == p
+        m = int(sel.sum())
+        pro_dest_a[p, :m] = combined_index(ea[sel], np.full(m, p))
+        pro_dest_b[p, :m] = combined_index(eb[sel], np.full(m, p))
+
     # --- node block data ---
     volumes = np.ones((P, B))
     node_mask = np.zeros((P, B))
@@ -182,14 +239,16 @@ def partition_level(lvl: MeshLevel, P: int) -> ShardedLevelData:
         bedge_b=bedge_b, bedge_w=bedge_w, wedge_b=wedge_b, wedge_w=wedge_w,
         sep_idx=sep_idx, sep_mask=sep_mask,
         mg_mapping=None, mg_counts=None, mg_mapped=None, coincident=None,
+        shift_deltas=deltas, shift_w=shift_w,
+        pro_dest_a=pro_dest_a, pro_dest_b=pro_dest_b,
         num_nodes=n, block=B, smax=smax)
 
 
-def partition_mesh(mesh, P: int) -> ShardedMeshData:
+def partition_mesh(mesh, P: int, use_shift: bool = False) -> ShardedMeshData:
     """Shard the finest level; attach MG bookkeeping to reach the (still
     replicated) level 1."""
     lvl0 = mesh.levels[0]
-    sl = partition_level(lvl0, P)
+    sl = partition_level(lvl0, P, use_shift=use_shift)
     if mesh.num_levels > 1:
         coarse = mesh.levels[1]
         mapping = lvl0.mg_mapping
@@ -226,7 +285,7 @@ def _attach_prolong_geometry(sl: ShardedLevelData, lvl0: MeshLevel,
     B = sl.block
     mapping = lvl0.mg_mapping
     owner = np.minimum(lvl0.edge_a // B, P - 1)
-    E = sl.edge_a.shape[1]
+    E = sl.pro_dest_a.shape[1]  # full stream (prolong covers ALL edges)
 
     def idist(p, q):
         d = p - q

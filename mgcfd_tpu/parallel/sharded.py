@@ -71,6 +71,10 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
         pool = jax.lax.all_gather(sep_vals, AXIS)       # (P, Smax, NVAR)
         return jnp.concatenate([v, pool.reshape(pool_sz, NVAR)], axis=0)
 
+    use_shift = (config.accumulate == "shift"
+                 and const.get("shift_w") is not None
+                 and len(sd.shift_deltas) > 0)
+
     for j in range(RK):
         combined = exchange(variables)
         q_a = combined[const["edge_a"]]
@@ -91,6 +95,14 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
         vals = jnp.concatenate([val, -val])
         seg = jax.ops.segment_sum(vals, dest, num_segments=B + pool_sz)
         flux = seg[:B]
+        if use_shift:
+            # dense per-span diagonals over the shard-local block
+            for di, d in enumerate(sd.shift_deltas):
+                sval = internal_edge_flux(
+                    variables[:B - d], variables[d:],
+                    const["shift_w"][di, :B - d])
+                flux = flux.at[:B - d].add(sval)
+                flux = flux.at[d:].add(-sval)
         flux = flux + jax.ops.segment_sum(val_bd, const["bedge_b"],
                                           num_segments=B)
         flux = flux + jax.ops.segment_sum(val_w, const["wedge_b"],
@@ -162,7 +174,7 @@ def _sharded_prolong(sd, const, res_coarse, res_fine, vars_fine):
     w_b = const["pro_live_b"] * (const["pro_id_b1b2"]
                                  + const["pro_id_a1b2"])
 
-    dest = jnp.concatenate([const["edge_a"], const["edge_b"]])
+    dest = jnp.concatenate([const["pro_dest_a"], const["pro_dest_b"]])
     acc = jax.ops.segment_sum(jnp.concatenate([val_a, val_b]), dest,
                               num_segments=B + pool_sz)
     ws = jax.ops.segment_sum(jnp.concatenate([w_a, w_b]), dest,
@@ -209,6 +221,8 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
         "wedge_b": to_dev(sd.wedge_b, jnp.int32),
         "wedge_w": to_dev(sd.wedge_w),
     }
+    if sd.shift_deltas:
+        sharded_const["shift_w"] = to_dev(sd.shift_w)
     if sd.mg_mapping is not None:
         sharded_const.update({
             "mg_mapping": to_dev(sd.mg_mapping, jnp.int32),
@@ -222,6 +236,8 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
             "pro_id_a1b2": to_dev(sd.pro_id_a1b2),
             "pro_live_a": to_dev(sd.pro_live_a),
             "pro_live_b": to_dev(sd.pro_live_b),
+            "pro_dest_a": to_dev(sd.pro_dest_a, jnp.int32),
+            "pro_dest_b": to_dev(sd.pro_dest_b, jnp.int32),
         })
     # ... and replicated constants
     replicated_const = {}
@@ -330,7 +346,8 @@ class ShardedSolver:
                                     problem_size=mgmesh.problem_size,
                                     name=mgmesh.name)
 
-        self.smesh = partition_mesh(conditioned, P_)
+        self.smesh = partition_mesh(
+            conditioned, P_, use_shift=config.accumulate == "shift")
         # replicated coarse hierarchy as single-chip DeviceMesh levels;
         # edge weights are already conditioned, so present them under a
         # variant with no damping to avoid double application:

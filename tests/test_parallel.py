@@ -64,6 +64,24 @@ def test_sharded_multigrid_matches_single_chip():
     np.testing.assert_allclose(sh.rms_history, ref.rms_history, rtol=1e-8)
 
 
+@pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+def test_sharded_shift_mode_matches():
+    """Sharded shift decomposition (dense diagonals on shard-local edges,
+    spill via the indexed stream) must match the plain sharded path."""
+    mesh = generate_multigrid_box(8, 6, 6, 3, h=(0.1, 0.1, 0.1),
+                                  volume_jitter=0.2)
+    ref = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    ref.run(cycles=3)
+    sh = ShardedSolver(mesh, SolverConfig(dtype="float64",
+                                          num_partitions=4,
+                                          accumulate="shift"))
+    # the partitioner must have moved most local edges into diagonals
+    assert sh.smesh.level0.shift_deltas
+    sh.run(cycles=3)
+    np.testing.assert_allclose(sh.variables(0), ref.variables(0),
+                               rtol=1e-10, atol=1e-14)
+
+
 def test_partition_covers_all_edges():
     mesh = generate_multigrid_box(6, 6, 6, 2)
     sm = partition_mesh(mesh, 4)
