@@ -65,16 +65,37 @@ def main():
 
     results = {}
     solvers = {}
-    for mode in ("shift", "segment"):
-        cfg = SolverConfig(dtype="float32", include_indirect_rw=False,
-                           accumulate=mode)
+    candidates = (
+        ("shift_t", SolverConfig(dtype="float32",
+                                 include_indirect_rw=False,
+                                 accumulate="shift", transposed=True)),
+        ("shift", SolverConfig(dtype="float32", include_indirect_rw=False,
+                               accumulate="shift")),
+        ("segment", SolverConfig(dtype="float32",
+                                 include_indirect_rw=False,
+                                 accumulate="segment")),
+    )
+    for mode, cfg in candidates:
         solver = MGCFDSolver(mesh, cfg)
         solvers[mode] = solver
         lvl0 = solver.dmesh.levels[0]
-        flux_fn = jax.jit(
-            lambda v, lvl0=lvl0, solver=solver, cfg=cfg:
-            _compute_fluxes(lvl0, v, solver.dmesh.ff_flux, cfg))
-        t = _time(flux_fn, solver.state["variables"][0])
+        if cfg.transposed:
+            from mgcfd_tpu.ops import tops
+            deltas, weights, _ = lvl0.shift
+            weights_t = [w.T for w in weights]
+
+            def flux_fn(v, deltas=deltas, weights_t=weights_t,
+                        lvl0=lvl0):
+                return tops.t_shift_flux(deltas, weights_t, v,
+                                         lvl0.num_nodes)
+            flux_fn = jax.jit(flux_fn)
+            arg = solver.state["variables"][0].T
+        else:
+            flux_fn = jax.jit(
+                lambda v, lvl0=lvl0, solver=solver, cfg=cfg:
+                _compute_fluxes(lvl0, v, solver.dmesh.ff_flux, cfg))
+            arg = solver.state["variables"][0]
+        t = _time(flux_fn, arg)
         results[mode] = n_edges / t
 
     best_mode = max(results, key=results.get)

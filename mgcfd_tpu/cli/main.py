@@ -134,6 +134,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="jax platform override, e.g. cpu (useful when the "
                         "TPU is held by another process)")
+    p.add_argument("--transposed", action="store_true",
+                   help="variable-major (5, N) state layout in the RK "
+                        "loop (with --accumulate shift)")
     p.add_argument("--profile-dir", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one extra "
                         "V-cycle after the run (view with xprof/"
@@ -173,6 +176,7 @@ def main(argv=None) -> int:
         cfg.monitor_mode = args.monitor
     if args.accumulate:
         cfg.accumulate = args.accumulate
+    cfg.transposed |= args.transposed
     cfg.flux_cripple |= args.flux_cripple
     cfg.flux_precompute_edge_weights |= args.flux_precompute_edge_weights
     cfg.flux_fission |= args.flux_fission

@@ -42,7 +42,9 @@ class SolverConfig:
 
     # --- TPU-specific policy (new; no reference counterpart) ---
     dtype: str = "float32"            # float64 for validation, float32/bf16 perf
-    accumulate: str = "segment"       # 'segment' | 'scatter' | 'ell' | 'pallas'
+    accumulate: str = "segment"       # 'segment'|'scatter'|'ell'|'shift'|'pallas'
+    transposed: bool = False          # (NVAR, N) state layout inside the RK
+    # loop (lane-major; needs accumulate='shift')
     check_invalid_every: int = 1      # host-side NaN-guard cadence (cycles)
     num_partitions: int = 1           # SPMD shards (parallel/)
     monitor_mode: str = "fused"       # 'fused' | 'instrumented'

@@ -1,0 +1,98 @@
+"""Transposed (variable-major) kernels: state as (NVAR, N).
+
+TPU physical layout tiles the two minor dimensions to (8, 128); a
+node-major (N, 5) float32 array is padded to 128 lanes — up to 25x wasted
+HBM footprint and bandwidth on every materialised state array. The
+variable-major layout (5, N) puts nodes in lanes (5 sublanes pad to 8:
+1.6x) and turns the shift-decomposition flux into pure full-bandwidth
+lane-dimension slices.
+
+Same math as ops/physics.py + ops/flux.py, axes swapped. Used by the
+solver when SolverConfig.transposed is on (requires accumulate='shift';
+the indexed paths keep node-major gathers).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import GAMMA, RK, SMOOTHING_COEFFICIENT
+
+
+def t_primitives(q):
+    """q: (5, ...) -> dict of (...) primitives."""
+    rho = q[0]
+    mom = q[1:4]
+    energy = q[4]
+    vel = mom / rho[None]
+    speed_sqd = jnp.sum(vel * vel, axis=0)
+    pressure = (GAMMA - 1.0) * (energy - 0.5 * rho * speed_sqd)
+    sos = jnp.sqrt(GAMMA * pressure / rho)
+    return {"rho": rho, "mom": mom, "vel": vel, "energy": energy,
+            "speed_sqd": speed_sqd, "speed": jnp.sqrt(speed_sqd),
+            "pressure": pressure, "sos": sos}
+
+
+def t_flux_tensor(q, prim=None):
+    """q: (5, N) -> F: (3, 5, N); F[d, v] = flux of v in direction d,
+    momentum block oriented vel[k]*mom[d] (matches ops.physics)."""
+    if prim is None:
+        prim = t_primitives(q)
+    mom, vel, p = prim["mom"], prim["vel"], prim["pressure"]
+    de_p = prim["energy"] + p
+    mom_block = vel[None, :, :] * mom[:, None, :]       # (d, k, N)
+    eye = jnp.eye(3, dtype=q.dtype)[:, :, None]
+    mom_block = mom_block + p[None, None, :] * eye
+    density_row = mom[:, None, :]                       # (3, 1, N)
+    energy_row = (vel * de_p[None])[:, None, :]         # (3, 1, N)
+    return jnp.concatenate([density_row, mom_block, energy_row], axis=1)
+
+
+def t_internal_edge_flux(q_a, q_b, ew):
+    """q_a, q_b: (5, E); ew: (3, E) -> (5, E) value into a (negate for b)."""
+    ewt = jnp.sqrt(jnp.sum(ew * ew, axis=0))
+    pa, pb = t_primitives(q_a), t_primitives(q_b)
+    fa = t_flux_tensor(q_a, pa)
+    fb = t_flux_tensor(q_b, pb)
+    factor = (-ewt * (SMOOTHING_COEFFICIENT * 0.5)
+              * (pa["speed"] + pb["speed"] + pa["sos"] + pb["sos"]))
+    central = jnp.einsum("de,dve->ve", ew, fa + fb)
+    return factor[None] * (q_a - q_b) - 0.5 * central
+
+
+def t_boundary_edge_flux(q_b, ew):
+    p = t_primitives(q_b)["pressure"]
+    zeros = jnp.zeros_like(p)[None]
+    return jnp.concatenate([zeros, ew * p[None], zeros], axis=0)
+
+
+def t_wall_edge_flux(q_b, ew, ff_flux_t):
+    """ff_flux_t: (3, 5) far-field flux tensor."""
+    fb = t_flux_tensor(q_b)
+    return 0.5 * jnp.einsum("de,dve->ve", ew, fb + ff_flux_t[:, :, None])
+
+
+def t_shift_flux(deltas, weights, variables, num_nodes):
+    """Dense shift-decomposition internal flux, transposed layout.
+    weights[i]: (3, N - d) device arrays."""
+    flux = jnp.zeros_like(variables)
+    for d, wd in zip(deltas, weights):
+        q_a = variables[:, :num_nodes - d]
+        q_b = variables[:, d:]
+        val = t_internal_edge_flux(q_a, q_b, wd)
+        flux = flux.at[:, :num_nodes - d].add(val)
+        flux = flux.at[:, d:].add(-val)
+    return flux
+
+
+def t_time_step(j, step_factors, fluxes, old_variables):
+    factor = step_factors / float(RK + 1 - j)
+    return old_variables + factor[None] * fluxes
+
+
+def t_segment_accumulate(val, dest, num_nodes):
+    """(5, E) values into (5, N): five 1D segment sums (keeps everything
+    in lane-major layouts; E here is small — boundary/wall/spill)."""
+    return jnp.stack([
+        jax.ops.segment_sum(val[v], dest, num_segments=num_nodes)
+        for v in range(val.shape[0])], axis=0)

@@ -173,6 +173,9 @@ def _visit(lvl: DeviceLevel, variables, ff_flux, config,
     """One smoothing pass on one level: returns (variables, old, residuals,
     step_factors, invalid_count, rw_token). Reference inner loop:
     euler3d_cpu_double.cpp:383-512."""
+    if config.transposed and lvl.shift is not None:
+        return _visit_transposed(lvl, variables, ff_flux, config,
+                                 legacy_step)
     old = variables
     if legacy_step:
         sf = compute_step_factor_legacy(variables, lvl.volumes)
@@ -198,6 +201,59 @@ def _visit(lvl: DeviceLevel, variables, ff_flux, config,
 
     res = residual(old, variables)
     return variables, old, res, sf, invalid, rw_token
+
+
+def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
+                      legacy_step: bool):
+    """Variable-major RK inner loop (see ops/tops.py): the state lives as
+    (NVAR, N) for the whole smoothing pass — full-lane layouts for the
+    shift-decomposition flux — and transposes back at the boundary so MG
+    transfers and the rest of the framework stay node-major."""
+    from ..ops import tops
+
+    q = variables.T
+    old = q
+    prim = tops.t_primitives(q)
+    if legacy_step:
+        sf = 0.5 / (jnp.sqrt(lvl.volumes) * (prim["speed"] + prim["sos"]))
+    else:
+        dt = 0.5 * jnp.cbrt(lvl.volumes) / (prim["speed"] + prim["sos"])
+        sf = jnp.broadcast_to(jnp.min(dt), dt.shape) / lvl.volumes
+
+    deltas, weights, (sa, sb, sw) = lvl.shift
+    weights_t = [w.T for w in weights]
+
+    invalid = jnp.int32(0)
+    rw_token = jnp.zeros((), variables.dtype)
+    for j in range(RK):
+        flux = tops.t_shift_flux(deltas, weights_t, q, lvl.num_nodes)
+        if sa.shape[0]:
+            val = tops.t_internal_edge_flux(q[:, sa], q[:, sb], sw.T)
+            flux = flux + tops.t_segment_accumulate(
+                jnp.concatenate([val, -val], axis=1),
+                jnp.concatenate([sa, sb]), lvl.num_nodes)
+        val_bd = tops.t_boundary_edge_flux(q[:, lvl.bedge_b],
+                                           lvl.bedge_w.T)
+        # ff_flux is already (3, 5) = [direction, variable]
+        val_w = tops.t_wall_edge_flux(q[:, lvl.wedge_b], lvl.wedge_w.T,
+                                      ff_flux)
+        flux = flux + tops.t_segment_accumulate(
+            jnp.concatenate([val_bd, val_w], axis=1),
+            jnp.concatenate([lvl.bedge_b, lvl.wedge_b]), lvl.num_nodes)
+
+        q = tops.t_time_step(j, sf, flux, old)
+        bad = ~jnp.isfinite(q)
+        invalid = invalid + (jnp.sum(bad) + jnp.sum(q[0] < 0)
+                             + jnp.sum(q[4] < 0)).astype(jnp.int32)
+        if config.include_indirect_rw:
+            # twin with the same slicing pattern; token-consumed
+            rw = tops.t_shift_flux(deltas, weights_t, q, lvl.num_nodes)
+            rw_token = rw_token + jnp.sum(rw) * jnp.zeros(
+                (), variables.dtype)
+
+    variables = q.T
+    res = (q - old).T
+    return variables, old.T, res, sf, invalid, rw_token
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,41 @@ def test_shift_solver_end_to_end():
     np.testing.assert_allclose(b.rms_history, a.rms_history, rtol=1e-9)
 
 
+def test_transposed_matches_node_major():
+    """Variable-major (5, N) inner loop == node-major result."""
+    mesh = generate_multigrid_box(6, 6, 6, 2, h=(0.1, 0.1, 0.1),
+                                  volume_jitter=0.2)
+    a = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="shift"))
+    a.run(cycles=3)
+    b = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="shift",
+                                       transposed=True))
+    b.run(cycles=3)
+    np.testing.assert_allclose(b.variables(0), a.variables(0),
+                               rtol=1e-11, atol=1e-15)
+    np.testing.assert_allclose(b.rms_history, a.rms_history, rtol=1e-9)
+
+
+def test_transposed_with_spill():
+    from mgcfd_tpu.prep.shift import build_shift_plan as bsp
+    import mgcfd_tpu.prep.shift as shift_mod
+    mesh = generate_multigrid_box(5, 5, 5, 2, h=(0.1, 0.1, 0.1))
+    a = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    a.run(cycles=2)
+    orig = shift_mod.build_shift_plan
+    shift_mod.build_shift_plan = lambda l, **kw: bsp(l, max_deltas=1)
+    try:
+        b = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                           accumulate="shift",
+                                           transposed=True))
+    finally:
+        shift_mod.build_shift_plan = orig
+    b.run(cycles=2)
+    np.testing.assert_allclose(b.variables(0), a.variables(0),
+                               rtol=1e-11, atol=1e-15)
+
+
 def test_shift_with_spill_end_to_end():
     """Force partial coverage (tiny density threshold excludes nothing,
     so instead use max_deltas=1) and check the spill path composes."""
