@@ -52,6 +52,7 @@ class DeviceLevel:
     num_nodes: int
     ell: Optional[Any] = None     # IncidenceTables with device arrays
     shift: Optional[Any] = None   # (deltas, [weights], (sa, sb, sw))
+    pallas_flux: Optional[Any] = None  # PallasShiftFlux kernel
 
 
 @dataclasses.dataclass
@@ -93,15 +94,22 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
             ell = _dc.replace(t, slots=put(t.slots, jnp.int32),
                               signs=put(t.signs, jnp.int8))
         shift = None
-        if config.accumulate == "shift":
+        pallas_flux = None
+        if config.accumulate in ("shift", "pallas"):
             from ..prep.shift import build_shift_plan
             plan = build_shift_plan(l)
             shift = (plan.deltas, [put(w) for w in plan.weights],
                      (put(plan.spill_a, jnp.int32),
                       put(plan.spill_b, jnp.int32),
                       put(plan.spill_w)))
+            if config.accumulate == "pallas":
+                from ..pallas.flux_shift import pallas_shift_flux
+                interp = jax.default_backend() == "cpu"
+                pallas_flux = pallas_shift_flux(plan, l.num_nodes,
+                                                dtype=dtype,
+                                                interpret=interp)
         dlevels.append(DeviceLevel(
-            ell=ell, shift=shift,
+            ell=ell, shift=shift, pallas_flux=pallas_flux,
             volumes=put(l.volumes),
             coords=None if l.coords is None else put(l.coords),
             edge_a=put(l.edge_a, jnp.int32),
@@ -173,7 +181,8 @@ def _visit(lvl: DeviceLevel, variables, ff_flux, config,
     """One smoothing pass on one level: returns (variables, old, residuals,
     step_factors, invalid_count, rw_token). Reference inner loop:
     euler3d_cpu_double.cpp:383-512."""
-    if config.transposed and lvl.shift is not None:
+    if lvl.shift is not None and (config.transposed
+                                  or config.accumulate == "pallas"):
         return _visit_transposed(lvl, variables, ff_flux, config,
                                  legacy_step)
     old = variables
@@ -223,10 +232,15 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
     deltas, weights, (sa, sb, sw) = lvl.shift
     weights_t = [w.T for w in weights]
 
+    def internal_flux(qv):
+        if config.accumulate == "pallas" and lvl.pallas_flux is not None:
+            return lvl.pallas_flux(qv)
+        return tops.t_shift_flux(deltas, weights_t, qv, lvl.num_nodes)
+
     invalid = jnp.int32(0)
     rw_token = jnp.zeros((), variables.dtype)
     for j in range(RK):
-        flux = tops.t_shift_flux(deltas, weights_t, q, lvl.num_nodes)
+        flux = internal_flux(q)
         if sa.shape[0]:
             val = tops.t_internal_edge_flux(q[:, sa], q[:, sb], sw.T)
             flux = flux + tops.t_segment_accumulate(
@@ -247,7 +261,7 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
                              + jnp.sum(q[4] < 0)).astype(jnp.int32)
         if config.include_indirect_rw:
             # twin with the same slicing pattern; token-consumed
-            rw = tops.t_shift_flux(deltas, weights_t, q, lvl.num_nodes)
+            rw = internal_flux(q)
             rw_token = rw_token + jnp.sum(rw) * jnp.zeros(
                 (), variables.dtype)
 
