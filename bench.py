@@ -66,6 +66,9 @@ def main():
     results = {}
     solvers = {}
     candidates = (
+        ("pallas", SolverConfig(dtype="float32",
+                                include_indirect_rw=False,
+                                accumulate="pallas")),
         ("shift_t", SolverConfig(dtype="float32",
                                  include_indirect_rw=False,
                                  accumulate="shift", transposed=True)),
@@ -76,27 +79,37 @@ def main():
                                  accumulate="segment")),
     )
     for mode, cfg in candidates:
-        solver = MGCFDSolver(mesh, cfg)
-        solvers[mode] = solver
-        lvl0 = solver.dmesh.levels[0]
-        if cfg.transposed:
-            from mgcfd_tpu.ops import tops
-            deltas, weights, _ = lvl0.shift
-            weights_t = [w.T for w in weights]
+        try:
+            solver = MGCFDSolver(mesh, cfg)
+            solvers[mode] = solver
+            lvl0 = solver.dmesh.levels[0]
+            if mode == "pallas":
+                pf = lvl0.pallas_flux
+                flux_fn = jax.jit(lambda v, pf=pf: pf(v))
+                arg = solver.state["variables"][0].T
+            elif cfg.transposed:
+                from mgcfd_tpu.ops import tops
+                deltas, weights, _ = lvl0.shift
+                weights_t = [w.T for w in weights]
 
-            def flux_fn(v, deltas=deltas, weights_t=weights_t,
-                        lvl0=lvl0):
-                return tops.t_shift_flux(deltas, weights_t, v,
-                                         lvl0.num_nodes)
-            flux_fn = jax.jit(flux_fn)
-            arg = solver.state["variables"][0].T
-        else:
-            flux_fn = jax.jit(
-                lambda v, lvl0=lvl0, solver=solver, cfg=cfg:
-                _compute_fluxes(lvl0, v, solver.dmesh.ff_flux, cfg))
-            arg = solver.state["variables"][0]
-        t = _time(flux_fn, arg)
-        results[mode] = n_edges / t
+                def flux_fn(v, deltas=deltas, weights_t=weights_t,
+                            lvl0=lvl0):
+                    return tops.t_shift_flux(deltas, weights_t, v,
+                                             lvl0.num_nodes)
+                flux_fn = jax.jit(flux_fn)
+                arg = solver.state["variables"][0].T
+            else:
+                flux_fn = jax.jit(
+                    lambda v, lvl0=lvl0, solver=solver, cfg=cfg:
+                    _compute_fluxes(lvl0, v, solver.dmesh.ff_flux, cfg))
+                arg = solver.state["variables"][0]
+            t = _time(flux_fn, arg)
+            results[mode] = n_edges / t
+        except Exception as e:  # a mode failing must not kill the bench
+            import sys
+            print(f"bench: mode {mode} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            solvers.pop(mode, None)
 
     best_mode = max(results, key=results.get)
     edges_per_sec = results[best_mode]
