@@ -45,6 +45,8 @@ class SolverConfig:
     accumulate: str = "segment"       # 'segment'|'scatter'|'ell'|'shift'|'pallas'
     transposed: bool = False          # (NVAR, N) state layout inside the RK
     # loop (lane-major; needs accumulate='shift')
+    mg_gather: bool = True            # gather-transpose restrict/prolong
+    # (TPU-fast; False falls back to the scatter formulation)
     check_invalid_every: int = 1      # host-side NaN-guard cadence (cycles)
     num_partitions: int = 1           # SPMD shards (parallel/)
     monitor_mode: str = "fused"       # 'fused' | 'instrumented'

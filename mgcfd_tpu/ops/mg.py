@@ -36,6 +36,42 @@ def mg_restrict(vars_fine, vars_coarse, mapping, num_coarse_nodes):
     return jnp.where(mapped[:, None], sums / safe[:, None], vars_coarse)
 
 
+def mg_restrict_gather(vars_fine, vars_coarse, children, child_mask,
+                       mapped):
+    """Gather-transpose restriction: each coarse node gathers its children
+    (precomputed inverse of the fine->coarse mapping) and averages —
+    identical semantics to mg_restrict with the scatter turned into a
+    fixed-width gather (TPU: scatters serialise, gathers don't).
+
+    children: (Nc, Cmax) fine ids (0 where padded); child_mask: (Nc, Cmax)
+    1/0; mapped: (Nc,) bool (count>0)."""
+    gathered = vars_fine[children]                       # (Nc, Cmax, 5)
+    sums = jnp.einsum("ncv,nc->nv", gathered,
+                      child_mask.astype(vars_fine.dtype))
+    counts = jnp.sum(child_mask, axis=1).astype(vars_fine.dtype)
+    safe = jnp.where(mapped, counts, jnp.ones_like(counts))
+    return jnp.where(mapped[:, None], sums / safe[:, None], vars_coarse)
+
+
+def build_restrict_children(mapping, num_coarse_nodes):
+    """Host-side inversion of the fine->coarse mapping into an ELL table.
+    Returns (children, child_mask, mapped) numpy arrays."""
+    import numpy as np
+
+    mapping = np.asarray(mapping)
+    counts = np.bincount(mapping, minlength=num_coarse_nodes)
+    cmax = max(1, int(counts.max()))
+    children = np.zeros((num_coarse_nodes, cmax), np.int32)
+    mask = np.zeros((num_coarse_nodes, cmax), np.float64)
+    order = np.argsort(mapping, kind="stable")
+    starts = np.zeros(num_coarse_nodes + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    lane = np.arange(mapping.shape[0]) - starts[mapping[order]]
+    children[mapping[order], lane] = order.astype(np.int32)
+    mask[mapping[order], lane] = 1.0
+    return children, mask, counts > 0
+
+
 def _inv_dist(dx):
     return 1.0 / jnp.sqrt(jnp.sum(dx * dx, axis=-1))
 
@@ -95,5 +131,90 @@ def prolong_residuals_interpolate(res_coarse, res_fine, vars_fine,
 
     safe_w = jnp.where(wsum > 0, wsum, jnp.ones_like(wsum))
     wavg = jnp.where(coincident[:, None], res_coarse[parent],
+                     acc / safe_w[:, None])
+    return vars_fine + (res_fine - wavg)
+
+
+# ---------------------------------------------------------------------------
+# gather-transpose prolongation (TPU-fast; same semantics)
+# ---------------------------------------------------------------------------
+
+def build_prolong_tables(fine_coords, coarse_coords, mapping,
+                         edge_a, edge_b):
+    """Host-side static geometry + incidence for prolong_gather.
+
+    All inverse distances, parents, coincidence flags and the node->
+    half-edge incidence are mesh constants; at run time prolongation
+    reduces to two replicated-coarse gathers, vectorised arithmetic and
+    one fixed-width node gather. Returns a dict of numpy arrays."""
+    import numpy as np
+
+    ei = edge_a.shape[0]
+    a1 = mapping[edge_a]
+    b1 = mapping[edge_b]
+    coincident = np.all(fine_coords == coarse_coords[mapping], axis=1)
+
+    def idist(p, q):
+        d = p - q
+        with np.errstate(divide="ignore"):
+            return 1.0 / np.sqrt((d * d).sum(axis=1))
+
+    ca1, cb1 = coarse_coords[a1], coarse_coords[b1]
+    ca2, cb2 = fine_coords[edge_a], fine_coords[edge_b]
+    live_a = (~coincident[edge_a]).astype(np.float64)
+    live_b = (~coincident[edge_b]).astype(np.float64)
+    g = {
+        "a1": a1.astype(np.int32), "b1": b1.astype(np.int32),
+        "id_a1a2": np.nan_to_num(idist(ca2, ca1), posinf=0.0) * live_a,
+        "id_b1a2": np.nan_to_num(idist(cb1, ca2), posinf=0.0) * live_a,
+        "id_b1b2": np.nan_to_num(idist(cb2, cb1), posinf=0.0) * live_b,
+        "id_a1b2": np.nan_to_num(idist(ca1, cb2), posinf=0.0) * live_b,
+        "live_a": live_a, "live_b": live_b,
+        "coincident": coincident,
+        "parent": mapping.astype(np.int32),
+    }
+
+    # node -> half-edge incidence over the [val_a (Ei) | val_b (Ei)]
+    # stream, ELL-padded with slot 2*Ei (a zero pad entry)
+    n = fine_coords.shape[0]
+    dest = np.concatenate([edge_a, edge_b]).astype(np.int64)
+    counts = np.bincount(dest, minlength=n)
+    width = max(1, int(counts.max()))
+    slots = np.full((n, width), 2 * ei, np.int32)
+    mask = np.zeros((n, width))
+    order = np.argsort(dest, kind="stable")
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    lane = np.arange(dest.shape[0]) - starts[dest[order]]
+    slots[dest[order], lane] = order.astype(np.int32)
+    mask[dest[order], lane] = 1.0
+    g["slots"] = slots
+    g["mask"] = mask
+    return g
+
+
+def prolong_gather(res_coarse, res_fine, vars_fine, g):
+    """prolong_residuals_interpolate with the edge scatter replaced by a
+    fixed-width node gather over precomputed tables (build_prolong_tables).
+    Bit-compatible up to FP reassociation with the scatter version."""
+    r_a1 = res_coarse[g["a1"]]
+    r_b1 = res_coarse[g["b1"]]
+    val_a = (g["id_a1a2"][:, None] * r_a1
+             + g["id_b1a2"][:, None] * r_b1)
+    w_a = g["id_a1a2"] + g["id_b1a2"]
+    val_b = (g["id_b1b2"] + g["id_a1b2"])[:, None] * r_b1
+    w_b = g["id_b1b2"] + g["id_a1b2"]
+
+    dt = vars_fine.dtype
+    stream_v = jnp.concatenate(
+        [val_a, val_b, jnp.zeros((1, val_a.shape[1]), dt)], axis=0)
+    stream_w = jnp.concatenate(
+        [w_a, w_b, jnp.zeros((1,), dt)], axis=0)
+    mask = g["mask"].astype(dt)
+    acc = jnp.einsum("ndv,nd->nv", stream_v[g["slots"]], mask)
+    wsum = jnp.einsum("nd,nd->n", stream_w[g["slots"]], mask)
+
+    safe_w = jnp.where(wsum > 0, wsum, jnp.ones_like(wsum))
+    wavg = jnp.where(g["coincident"][:, None], res_coarse[g["parent"]],
                      acc / safe_w[:, None])
     return vars_fine + (res_fine - wavg)

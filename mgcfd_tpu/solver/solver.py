@@ -51,6 +51,8 @@ class DeviceLevel:
     mg_mapping: Optional[Any]
     num_nodes: int
     ell: Optional[Any] = None     # IncidenceTables with device arrays
+    restrict_tables: Optional[Any] = None  # (children, mask, mapped)
+    prolong_tables: Optional[Any] = None   # dict, see build_prolong_tables
     shift: Optional[Any] = None   # (deltas, [weights], (sa, sb, sw))
     pallas_flux: Optional[Any] = None  # PallasShiftFlux kernel
 
@@ -124,6 +126,28 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
             else put(l.mg_mapping, jnp.int32),
             num_nodes=l.num_nodes,
         ))
+    # gather-transpose multigrid tables (scatter-free restrict/prolong)
+    if config.mg_gather:
+        from ..ops.mg import build_restrict_children, build_prolong_tables
+        for i in range(len(levels) - 1):
+            fine, coarse = levels[i], levels[i + 1]
+            if fine.mg_mapping is None:
+                continue
+            ch, mask, mapped = build_restrict_children(
+                fine.mg_mapping, coarse.num_nodes)
+            dlevels[i].restrict_tables = (
+                put(ch, jnp.int32), put(mask), jnp.asarray(mapped))
+            if (fine.coords is not None and coarse.coords is not None
+                    and fine.mg_mapping.shape[0] == fine.num_nodes):
+                g = build_prolong_tables(
+                    fine.coords, coarse.coords, fine.mg_mapping,
+                    fine.edge_a, fine.edge_b)
+                dlevels[i].prolong_tables = {
+                    k: put(v, jnp.int32) if v.dtype.kind == "i"
+                    else (jnp.asarray(v) if v.dtype == np.bool_
+                          else put(v))
+                    for k, v in g.items()}
+
     ff_q, ff_flux = far_field_state(np.float64)
     return DeviceMesh(levels=dlevels, variant=mesh.variant,
                       ff_flux=put(ff_flux), ff_q=put(ff_q))
@@ -306,9 +330,16 @@ def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
             if l == 0:
                 rms = calc_rms(res)
             # restrict variables l -> l+1 (euler3d:547-552)
-            variables[l + 1] = mg_restrict(
-                variables[l], variables[l + 1],
-                dmesh.levels[l].mg_mapping, dmesh.levels[l + 1].num_nodes)
+            rt = dmesh.levels[l].restrict_tables
+            if rt is not None:
+                from ..ops.mg import mg_restrict_gather
+                variables[l + 1] = mg_restrict_gather(
+                    variables[l], variables[l + 1], *rt)
+            else:
+                variables[l + 1] = mg_restrict(
+                    variables[l], variables[l + 1],
+                    dmesh.levels[l].mg_mapping,
+                    dmesh.levels[l + 1].num_nodes)
 
         # --- top level ---
         res = do_visit(L - 1)
@@ -319,10 +350,16 @@ def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
         for l in range(L - 2, -1, -1):
             fine = dmesh.levels[l]
             coarse = dmesh.levels[l + 1]
-            variables[l] = prolong_residuals_interpolate(
-                residuals[l + 1], residuals[l], variables[l],
-                fine.mg_mapping, coarse.coords, fine.coords,
-                fine.edge_a, fine.edge_b)
+            if fine.prolong_tables is not None:
+                from ..ops.mg import prolong_gather
+                variables[l] = prolong_gather(
+                    residuals[l + 1], residuals[l], variables[l],
+                    fine.prolong_tables)
+            else:
+                variables[l] = prolong_residuals_interpolate(
+                    residuals[l + 1], residuals[l], variables[l],
+                    fine.mg_mapping, coarse.coords, fine.coords,
+                    fine.edge_a, fine.edge_b)
             if l > 0:
                 do_visit(l)
 
