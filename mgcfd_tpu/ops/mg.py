@@ -193,6 +193,138 @@ def build_prolong_tables(fine_coords, coarse_coords, mapping,
     return g
 
 
+def build_prolong_shift(fine_coords, coarse_coords, mapping,
+                        edge_a, edge_b, max_deltas: int = 16,
+                        min_density: float = 0.01):
+    """Span-dense prolongation tables.
+
+    Identity: for an edge (r, r+delta), rc[mapping[r+delta]] is just a
+    delta-SHIFT of G = rc[mapping]. So after ONE gather of the (small)
+    coarse residual table, every covered span's contribution is dense
+    slice arithmetic with precomputed inverse-distance diagonals:
+
+      acc[:N-d] += A1_d * G[:N-d] + B1_d * G[d:]      (into a-nodes)
+      acc[d:]   += BS_d * G[d:]                        (into b-nodes;
+                  the reference's a1->b2 quirk keeps rc[b1] here)
+
+    Rare spans spill to a small indexed stream. Returns a dict of numpy
+    arrays; see prolong_shift for runtime."""
+    import numpy as np
+
+    n = fine_coords.shape[0]
+    coincident = np.all(fine_coords == coarse_coords[mapping], axis=1)
+
+    def idist(p, q):
+        d = p - q
+        with np.errstate(divide="ignore"):
+            out = 1.0 / np.sqrt((d * d).sum(axis=1))
+        return np.nan_to_num(out, posinf=0.0, neginf=0.0)
+
+    span = edge_b.astype(np.int64) - edge_a.astype(np.int64)
+    assert (span > 0).all()
+    cnt = np.bincount(span)
+    chosen = [int(d) for d in np.argsort(cnt)[::-1][:max_deltas]
+              if d > 0 and cnt[d] >= max(1, min_density * n)]
+
+    covered = np.zeros(span.shape[0], dtype=bool)
+    per_delta = []
+    for d in chosen:
+        sel = np.flatnonzero((span == d) & ~covered)
+        # dedup duplicate (a, delta) rows: first wins, rest spill
+        first = np.zeros(n - d, dtype=bool)
+        keep = []
+        for i in sel:
+            r = edge_a[i]
+            if first[r]:
+                continue
+            first[r] = True
+            keep.append(i)
+        keep = np.array(keep, dtype=np.int64)
+        covered[keep] = True
+        r = edge_a[keep].astype(np.int64)
+        a1c = coarse_coords[mapping[r]]
+        b1c = coarse_coords[mapping[r + d]]
+        a2c = fine_coords[r]
+        b2c = fine_coords[r + d]
+        la = (~coincident[r]).astype(np.float64)
+        lb = (~coincident[r + d]).astype(np.float64)
+        A1 = np.zeros(n - d); B1 = np.zeros(n - d); BS = np.zeros(n - d)
+        WA = np.zeros(n - d); WB = np.zeros(n - d)
+        A1[r] = la * idist(a2c, a1c)
+        B1[r] = la * idist(b1c, a2c)
+        BS[r] = lb * (idist(b2c, b1c) + idist(a1c, b2c))
+        WA[r] = A1[r] + B1[r]
+        WB[r] = BS[r]
+        per_delta.append((d, A1, B1, BS, WA, WB))
+
+    spill = np.flatnonzero(~covered)
+    sg = build_prolong_tables(fine_coords, coarse_coords, mapping,
+                              edge_a[spill], edge_b[spill]) \
+        if spill.size else None
+    return {"per_delta": per_delta, "spill": sg,
+            "coincident": coincident, "parent": mapping.astype(np.int32)}
+
+
+def prolong_shift(res_coarse, res_fine, vars_fine, t, transposed=False):
+    """Runtime of build_prolong_shift. When `transposed`, res_fine and
+    vars_fine are (5, N) and the result is (5, N); res_coarse is always
+    node-major (coarse levels are small)."""
+    G = res_coarse[t["parent"]]                 # (N, 5) — the ONE gather
+    if transposed:
+        G = G.T
+        n = vars_fine.shape[1]
+        acc = jnp.zeros_like(vars_fine)
+        wsum = jnp.zeros((n,), vars_fine.dtype)
+        for d, A1, B1, BS, WA, WB in t["per_delta"]:
+            ga, gb = G[:, :n - d], G[:, d:]
+            acc = acc.at[:, :n - d].add(A1[None] * ga + B1[None] * gb)
+            acc = acc.at[:, d:].add(BS[None] * gb)
+            wsum = wsum.at[:n - d].add(WA)
+            wsum = wsum.at[d:].add(WB)
+        if t["spill"] is not None:
+            sp = _prolong_spill(res_coarse, t["spill"])
+            acc = acc + sp[0].T
+            wsum = wsum + sp[1]
+        safe = jnp.where(wsum > 0, wsum, jnp.ones_like(wsum))
+        wavg = jnp.where(t["coincident"][None, :], G, acc / safe[None])
+        return vars_fine + (res_fine - wavg)
+    n = vars_fine.shape[0]
+    acc = jnp.zeros_like(vars_fine)
+    wsum = jnp.zeros((n,), vars_fine.dtype)
+    for d, A1, B1, BS, WA, WB in t["per_delta"]:
+        ga, gb = G[:n - d], G[d:]
+        acc = acc.at[:n - d].add(A1[:, None] * ga + B1[:, None] * gb)
+        acc = acc.at[d:].add(BS[:, None] * gb)
+        wsum = wsum.at[:n - d].add(WA)
+        wsum = wsum.at[d:].add(WB)
+    if t["spill"] is not None:
+        sp = _prolong_spill(res_coarse, t["spill"])
+        acc = acc + sp[0]
+        wsum = wsum + sp[1]
+    safe = jnp.where(wsum > 0, wsum, jnp.ones_like(wsum))
+    wavg = jnp.where(t["coincident"][:, None], G, acc / safe[:, None])
+    return vars_fine + (res_fine - wavg)
+
+
+def _prolong_spill(res_coarse, g):
+    """Accumulate the rare-span remainder through the ELL tables of
+    build_prolong_tables; returns (acc (N,5), wsum (N,))."""
+    r_a1 = res_coarse[g["a1"]]
+    r_b1 = res_coarse[g["b1"]]
+    val_a = g["id_a1a2"][:, None] * r_a1 + g["id_b1a2"][:, None] * r_b1
+    w_a = g["id_a1a2"] + g["id_b1a2"]
+    val_b = (g["id_b1b2"] + g["id_a1b2"])[:, None] * r_b1
+    w_b = g["id_b1b2"] + g["id_a1b2"]
+    dt = res_coarse.dtype
+    stream_v = jnp.concatenate(
+        [val_a, val_b, jnp.zeros((1, val_a.shape[1]), dt)], axis=0)
+    stream_w = jnp.concatenate([w_a, w_b, jnp.zeros((1,), dt)], axis=0)
+    mask = g["mask"].astype(dt)
+    acc = jnp.einsum("ndv,nd->nv", stream_v[g["slots"]], mask)
+    wsum = jnp.einsum("nd,nd->n", stream_w[g["slots"]], mask)
+    return acc, wsum
+
+
 def prolong_gather(res_coarse, res_fine, vars_fine, g):
     """prolong_residuals_interpolate with the edge scatter replaced by a
     fixed-width node gather over precomputed tables (build_prolong_tables).

@@ -13,8 +13,11 @@ def residual(old_variables, variables):
 
 def calc_rms(residuals):
     """sqrt(sum(r^2) / nel) — note the reference divides by the NODE count,
-    not nel*NVAR (validation.cpp:91-105)."""
-    nel = residuals.shape[0]
+    not nel*NVAR (validation.cpp:91-105). Layout-agnostic: accepts (N,5)
+    or (5,N)."""
+    from ..core.constants import NVAR
+
+    nel = residuals.size // NVAR
     return jnp.sqrt(jnp.sum(residuals * residuals) / nel)
 
 

@@ -53,6 +53,7 @@ class DeviceLevel:
     ell: Optional[Any] = None     # IncidenceTables with device arrays
     restrict_tables: Optional[Any] = None  # (children, mask, mapped)
     prolong_tables: Optional[Any] = None   # dict, see build_prolong_tables
+    prolong_shift_tables: Optional[Any] = None  # dict, span-dense prolong
     shift: Optional[Any] = None   # (deltas, [weights], (sa, sb, sw))
     pallas_flux: Optional[Any] = None  # PallasShiftFlux kernel
 
@@ -139,14 +140,33 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 put(ch, jnp.int32), put(mask), jnp.asarray(mapped))
             if (fine.coords is not None and coarse.coords is not None
                     and fine.mg_mapping.shape[0] == fine.num_nodes):
+                from ..ops.mg import build_prolong_shift
+
+                def conv(v):
+                    if isinstance(v, np.ndarray):
+                        if v.dtype.kind == "i":
+                            return put(v, jnp.int32)
+                        if v.dtype == np.bool_:
+                            return jnp.asarray(v)
+                        return put(v)
+                    return v
+
                 g = build_prolong_tables(
                     fine.coords, coarse.coords, fine.mg_mapping,
                     fine.edge_a, fine.edge_b)
-                dlevels[i].prolong_tables = {
-                    k: put(v, jnp.int32) if v.dtype.kind == "i"
-                    else (jnp.asarray(v) if v.dtype == np.bool_
-                          else put(v))
-                    for k, v in g.items()}
+                dlevels[i].prolong_tables = {k: conv(v)
+                                             for k, v in g.items()}
+                ps = build_prolong_shift(
+                    fine.coords, coarse.coords, fine.mg_mapping,
+                    fine.edge_a, fine.edge_b)
+                dlevels[i].prolong_shift_tables = {
+                    "per_delta": [tuple([d] + [conv(x) for x in rest])
+                                  for d, *rest in ps["per_delta"]],
+                    "spill": None if ps["spill"] is None
+                    else {k: conv(v) for k, v in ps["spill"].items()},
+                    "coincident": conv(ps["coincident"]),
+                    "parent": conv(ps["parent"]),
+                }
 
     ff_q, ff_flux = far_field_state(np.float64)
     return DeviceMesh(levels=dlevels, variant=mesh.variant,
@@ -201,14 +221,15 @@ def _indirect_rw_token(lvl: DeviceLevel, variables, config):
 
 
 def _visit(lvl: DeviceLevel, variables, ff_flux, config,
-           legacy_step: bool):
+           legacy_step: bool, io_transposed: bool = False):
     """One smoothing pass on one level: returns (variables, old, residuals,
     step_factors, invalid_count, rw_token). Reference inner loop:
     euler3d_cpu_double.cpp:383-512."""
     if lvl.shift is not None and (config.transposed
                                   or config.accumulate == "pallas"):
         return _visit_transposed(lvl, variables, ff_flux, config,
-                                 legacy_step)
+                                 legacy_step, io_transposed)
+    assert not io_transposed
     old = variables
     if legacy_step:
         sf = compute_step_factor_legacy(variables, lvl.volumes)
@@ -237,14 +258,15 @@ def _visit(lvl: DeviceLevel, variables, ff_flux, config,
 
 
 def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
-                      legacy_step: bool):
+                      legacy_step: bool, io_transposed: bool = False):
     """Variable-major RK inner loop (see ops/tops.py): the state lives as
     (NVAR, N) for the whole smoothing pass — full-lane layouts for the
-    shift-decomposition flux — and transposes back at the boundary so MG
-    transfers and the rest of the framework stay node-major."""
+    shift-decomposition flux. With io_transposed the caller already holds
+    (and receives back) variable-major arrays; otherwise transposes happen
+    at the visit boundary."""
     from ..ops import tops
 
-    q = variables.T
+    q = variables if io_transposed else variables.T
     old = q
     prim = tops.t_primitives(q)
     if legacy_step:
@@ -289,23 +311,42 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
             rw_token = rw_token + jnp.sum(rw) * jnp.zeros(
                 (), variables.dtype)
 
-    variables = q.T
-    res = (q - old).T
-    return variables, old.T, res, sf, invalid, rw_token
+    if io_transposed:
+        return q, old, q - old, sf, invalid, rw_token
+    return q.T, old.T, (q - old).T, sf, invalid, rw_token
 
 
 # ---------------------------------------------------------------------------
 # the V-cycle
 # ---------------------------------------------------------------------------
 
+def state_is_transposed(dmesh: DeviceMesh, config: SolverConfig) -> bool:
+    """Whole-cycle variable-major state: every level must have a shift
+    plan (the transposed visit requires one)."""
+    return ((config.transposed or config.accumulate == "pallas")
+            and all(l.shift is not None for l in dmesh.levels))
+
+
 def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
     """Build the jit-compiled full-V-cycle step.
 
-    state: dict of per-level lists: variables, residuals.
+    state: dict of per-level lists: variables, residuals — node-major
+    (N,5), or variable-major (5,N) when state_is_transposed (saves the
+    per-visit boundary transposes; MG transfers convert at the level
+    boundary where needed).
     Returns (state, rms_level0, invalid_total, rw_token)."""
     L = len(dmesh.levels)
     legacy = dmesh.variant.uses_legacy_step_factor
     ff_flux = dmesh.ff_flux
+    tstate = state_is_transposed(dmesh, config)
+
+    def nm(x):
+        """node-major view of a state array."""
+        return x.T if tstate else x
+
+    def st(x_nm):
+        """state-layout view of a node-major array."""
+        return x_nm.T if tstate else x_nm
 
     def cycle(state):
         variables = list(state["variables"])
@@ -316,7 +357,8 @@ def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
         def do_visit(l):
             nonlocal invalid_total, rw_token
             v, old, res, sf, inv, tok = _visit(
-                dmesh.levels[l], variables[l], ff_flux, config, legacy)
+                dmesh.levels[l], variables[l], ff_flux, config, legacy,
+                io_transposed=tstate)
             variables[l] = v
             residuals[l] = res
             invalid_total = invalid_total + inv
@@ -328,18 +370,18 @@ def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
         for l in range(L - 1):
             res = do_visit(l)
             if l == 0:
-                rms = calc_rms(res)
+                rms = calc_rms(res)  # layout-agnostic (sum of squares)
             # restrict variables l -> l+1 (euler3d:547-552)
             rt = dmesh.levels[l].restrict_tables
             if rt is not None:
                 from ..ops.mg import mg_restrict_gather
-                variables[l + 1] = mg_restrict_gather(
-                    variables[l], variables[l + 1], *rt)
+                variables[l + 1] = st(mg_restrict_gather(
+                    nm(variables[l]), nm(variables[l + 1]), *rt))
             else:
-                variables[l + 1] = mg_restrict(
-                    variables[l], variables[l + 1],
+                variables[l + 1] = st(mg_restrict(
+                    nm(variables[l]), nm(variables[l + 1]),
                     dmesh.levels[l].mg_mapping,
-                    dmesh.levels[l + 1].num_nodes)
+                    dmesh.levels[l + 1].num_nodes))
 
         # --- top level ---
         res = do_visit(L - 1)
@@ -350,16 +392,22 @@ def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
         for l in range(L - 2, -1, -1):
             fine = dmesh.levels[l]
             coarse = dmesh.levels[l + 1]
-            if fine.prolong_tables is not None:
+            if fine.prolong_shift_tables is not None:
+                from ..ops.mg import prolong_shift
+                variables[l] = prolong_shift(
+                    nm(residuals[l + 1]), residuals[l], variables[l],
+                    fine.prolong_shift_tables, transposed=tstate)
+            elif fine.prolong_tables is not None:
                 from ..ops.mg import prolong_gather
-                variables[l] = prolong_gather(
-                    residuals[l + 1], residuals[l], variables[l],
-                    fine.prolong_tables)
+                variables[l] = st(prolong_gather(
+                    nm(residuals[l + 1]), nm(residuals[l]),
+                    nm(variables[l]), fine.prolong_tables))
             else:
-                variables[l] = prolong_residuals_interpolate(
-                    residuals[l + 1], residuals[l], variables[l],
+                variables[l] = st(prolong_residuals_interpolate(
+                    nm(residuals[l + 1]), nm(residuals[l]),
+                    nm(variables[l]),
                     fine.mg_mapping, coarse.coords, fine.coords,
-                    fine.edge_a, fine.edge_b)
+                    fine.edge_a, fine.edge_b))
             if l > 0:
                 do_visit(l)
 
@@ -382,11 +430,20 @@ class MGCFDSolver:
         self.dtype = jnp.dtype(self.config.dtype)
         ff_q = jnp.asarray(np.asarray(far_field_state(np.float64)[0]),
                            dtype=self.dtype)
+        self._tstate = state_is_transposed(self.dmesh, self.config)
+
+        def init_vars(l):
+            v = jnp.tile(ff_q[None, :], (l.num_nodes, 1))
+            return v.T if self._tstate else v
+
+        def init_res(l):
+            shape = ((NVAR, l.num_nodes) if self._tstate
+                     else (l.num_nodes, NVAR))
+            return jnp.zeros(shape, self.dtype)
+
         self.state = {
-            "variables": [jnp.tile(ff_q[None, :], (l.num_nodes, 1))
-                          for l in self.dmesh.levels],
-            "residuals": [jnp.zeros((l.num_nodes, NVAR), self.dtype)
-                          for l in self.dmesh.levels],
+            "variables": [init_vars(l) for l in self.dmesh.levels],
+            "residuals": [init_res(l) for l in self.dmesh.levels],
         }
         self._cycle = make_cycle_fn(self.dmesh, self.config)
         self.rms_history: list[float] = []
@@ -396,8 +453,18 @@ class MGCFDSolver:
                 load_checkpoint
             path = latest_checkpoint(self.config.checkpoint_dir)
             if path is not None:
-                self.state, self.completed_cycles, self.rms_history = \
+                st, self.completed_cycles, self.rms_history = \
                     load_checkpoint(path, mesh, self.dtype)
+                # checkpoints are stored node-major regardless of the
+                # in-memory layout
+                if self._tstate:
+                    st = {k: [a.T for a in v] for k, v in st.items()}
+                self.state = st
+
+    def _state_node_major(self):
+        if not self._tstate:
+            return self.state
+        return {k: [a.T for a in v] for k, v in self.state.items()}
 
     def run(self, cycles: int | None = None, verbose: bool = False):
         """Run `cycles` more V-cycles (checkpoint cadence per config)."""
@@ -422,16 +489,19 @@ class MGCFDSolver:
                     and self.completed_cycles % ck_every == 0):
                 from ..utils.checkpoint import save_checkpoint
                 save_checkpoint(self.config.checkpoint_dir, self.mesh,
-                                self.state, self.completed_cycles,
-                                self.rms_history)
+                                self._state_node_major(),
+                                self.completed_cycles, self.rms_history)
         return self.state
 
     def variables(self, level: int = 0) -> np.ndarray:
-        return np.asarray(self.state["variables"][level])
+        v = self.state["variables"][level]
+        return np.asarray(v.T if self._tstate else v)
 
     def step_factors(self, level: int = 0) -> np.ndarray:
         lvl = self.dmesh.levels[level]
         v = self.state["variables"][level]
+        if self._tstate:
+            v = v.T
         if self.dmesh.variant.uses_legacy_step_factor:
             return np.asarray(compute_step_factor_legacy(v, lvl.volumes))
         return np.asarray(compute_step_factor(v, lvl.volumes))

@@ -71,6 +71,57 @@ def test_prolong_gather_matches_scatter_and_oracle():
     np.testing.assert_allclose(got, ow, rtol=1e-11, atol=1e-14)
 
 
+def test_prolong_shift_matches_scatter():
+    from mgcfd_tpu.ops.mg import build_prolong_shift, prolong_shift
+    mesh = generate_multigrid_box(6, 6, 6, 2, volume_jitter=0.2)
+    fine, coarse = mesh.levels
+    rc = _rand(coarse.num_nodes, 7) * 1e-3
+    rf = _rand(fine.num_nodes, 8) * 1e-3
+    vf = _rand(fine.num_nodes, 9)
+    want = np.asarray(prolong_residuals_interpolate(
+        jnp.asarray(rc), jnp.asarray(rf), jnp.asarray(vf),
+        jnp.asarray(fine.mg_mapping), jnp.asarray(coarse.coords),
+        jnp.asarray(fine.coords), jnp.asarray(fine.edge_a),
+        jnp.asarray(fine.edge_b)))
+
+    for max_d in (16, 1):  # full coverage and forced-spill
+        t = build_prolong_shift(fine.coords, coarse.coords,
+                                fine.mg_mapping, fine.edge_a,
+                                fine.edge_b, max_deltas=max_d)
+        tj = {"per_delta": [tuple([d] + [jnp.asarray(x) for x in rest])
+                            for d, *rest in t["per_delta"]],
+              "spill": None if t["spill"] is None else
+              {k: jnp.asarray(v) for k, v in t["spill"].items()},
+              "coincident": jnp.asarray(t["coincident"]),
+              "parent": jnp.asarray(t["parent"])}
+        got = np.asarray(prolong_shift(jnp.asarray(rc), jnp.asarray(rf),
+                                       jnp.asarray(vf), tj))
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-14)
+        # transposed variant
+        got_t = np.asarray(prolong_shift(
+            jnp.asarray(rc), jnp.asarray(rf.T), jnp.asarray(vf.T), tj,
+            transposed=True)).T
+        np.testing.assert_allclose(got_t, want, rtol=1e-11, atol=1e-14)
+
+
+def test_transposed_multigrid_solver_matches():
+    """Whole-cycle variable-major state across 3 levels."""
+    mesh = generate_multigrid_box(8, 6, 6, 3, h=(0.1, 0.1, 0.1),
+                                  volume_jitter=0.2)
+    a = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    a.run(cycles=3)
+    b = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="shift",
+                                       transposed=True))
+    assert b._tstate
+    b.run(cycles=3)
+    np.testing.assert_allclose(b.variables(0), a.variables(0),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(b.variables(2), a.variables(2),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(b.rms_history, a.rms_history, rtol=1e-8)
+
+
 def test_solver_mg_gather_default_matches_scatter_mode():
     mesh = generate_multigrid_box(6, 6, 6, 3, h=(0.1, 0.1, 0.1),
                                   volume_jitter=0.2)
