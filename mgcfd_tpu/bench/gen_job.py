@@ -105,10 +105,14 @@ def generate_jobs(profile_path: str, repo_root: str | None = None) -> str:
             else:
                 cli += ["-i", setup["input dat"],
                         "-d", setup["data dirpath"]]
+            # 'shift_t' = shift accumulation + variable-major layout
+            acc_flags = (["--accumulate", "shift", "--transposed"]
+                         if acc == "shift_t"
+                         else ["--accumulate", acc])
             cli += ["-g", str(run["mg cycles"]),
                     "-m", str(run["mesh multi"]),
                     "-o", "./", "--dtype", dtype,
-                    "--accumulate", acc,
+                    *acc_flags,
                     "--monitor", "instrumented"]
             if parts > 1:
                 cli += ["--partitions", str(parts)]

@@ -269,7 +269,6 @@ def main(argv=None) -> int:
         from ..core.constants import far_field_state
         from ..ops import (internal_edge_flux, boundary_edge_flux,
                            wall_edge_flux)
-        from .. import validate as _v
         from ..validate.golden import dump_edge_fluxes
         lvl = solver.dmesh.levels[0]
         import jax.numpy as jnp

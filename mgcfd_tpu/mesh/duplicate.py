@@ -15,7 +15,6 @@ from ..core.types import MeshLevel, MultigridMesh
 
 def _dup_level(lvl: MeshLevel, m: int, nel_above: int) -> MeshLevel:
     n = lvl.num_nodes
-    shift = np.repeat(np.arange(m, dtype=np.int64) * n, 1)
 
     def tile_idx(idx: np.ndarray) -> np.ndarray:
         return (np.tile(idx.astype(np.int64), m)

@@ -107,15 +107,12 @@ class InstrumentedSolver:
                 self.k[("flux", l)] = jax.jit(flux_vals)
                 self.k[("update", l)] = jax.jit(update)
             else:
+                # honours config.accumulate (segment/scatter/ell/shift)
+                from ..solver.solver import _compute_fluxes
+
                 def flux(v, lvl=lvl):
-                    vi = internal_edge_flux(v[lvl.edge_a], v[lvl.edge_b],
-                                            lvl.edge_w, lvl.edge_ewt)
-                    vb = boundary_edge_flux(v[lvl.bedge_b], lvl.bedge_w)
-                    vw = wall_edge_flux(v[lvl.wedge_b], lvl.wedge_w,
-                                        self.ff_flux)
-                    return accumulate_flux(
-                        lvl.num_nodes, lvl.edge_a, lvl.edge_b, vi,
-                        lvl.bedge_b, vb, lvl.wedge_b, vw, mode="segment")
+                    return _compute_fluxes(lvl, v, self.ff_flux,
+                                           self.config)
                 self.k[("flux", l)] = jax.jit(flux)
 
             self.k[("time_step", l)] = jax.jit(

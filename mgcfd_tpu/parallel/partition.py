@@ -136,7 +136,6 @@ def partition_level(lvl: MeshLevel, P: int,
     shift_w = np.zeros((P, max(1, len(deltas)), B, 3))
     for di, d in enumerate(deltas):
         sel = np.flatnonzero(eligible & (span == d) & ~covered)
-        rows = owner[sel].astype(np.int64) * 0  # placeholder
         la = local(ea[sel])
         # dedup (owner, local_a) per delta: first wins, rest spill
         key = owner[sel].astype(np.int64) * B + la

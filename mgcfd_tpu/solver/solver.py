@@ -16,7 +16,6 @@ visited at the start of the next cycle — exactly the reference's walk
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax
