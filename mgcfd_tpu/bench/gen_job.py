@@ -135,7 +135,9 @@ if [ -f Times.csv ]; then
   exit 0
 fi
 touch job-is-running.txt
-export PYTHONPATH="{repo_root}"
+# append (never overwrite) PYTHONPATH: some environments bootstrap the
+# accelerator plugin through it
+export PYTHONPATH="{repo_root}${{PYTHONPATH:+:$PYTHONPATH}}"
 {" ".join(cli)} > run.log 2>&1
 rc=$?
 rm -f job-is-running.txt

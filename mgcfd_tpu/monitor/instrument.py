@@ -8,6 +8,13 @@ its own jitted call, timed with block_until_ready, accumulated per
 Times.csv / LoopNumIters.csv in the reference schema plus an XLACosts.csv
 (flops / bytes from XLA cost analysis: the PAPI-counter analogue).
 
+Caveat for remote-tunnelled TPUs (this dev environment): every
+block_until_ready round-trip costs ~30 ms of dispatch latency, which
+floors per-kernel numbers on small problems; the fused solver's
+whole-cycle timing (bench.py) is the accurate wall-clock there. On
+locally-attached hardware dispatch overhead is negligible and these
+timers attribute faithfully.
+
 Kernel attribution matches the reference:
   flux         internal+boundary+wall flux computation & accumulation
                (flux_loops.cpp wraps all three under COMPUTE_FLUX_EDGE)
@@ -139,13 +146,16 @@ class InstrumentedSolver:
                         lvl.edge_a, lvl.edge_b))
 
     # --- timed invocation ----------------------------------------------
+    _recording = True
+
     def _run_kernel(self, name, l, iters, *args):
         fn = self.k[(name, l)]
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
-        self.stats.times[(name, l)] += time.perf_counter() - t0
-        self.stats.iters[(name, l)] += iters
+        if self._recording:
+            self.stats.times[(name, l)] += time.perf_counter() - t0
+            self.stats.iters[(name, l)] += iters
         return out
 
     def record_costs(self):
@@ -186,8 +196,24 @@ class InstrumentedSolver:
             raise FloatingPointError(f"invalid state on level {l}")
         return self.residuals[l]
 
-    def run(self, cycles: int | None = None, verbose: bool = False):
+    def run(self, cycles: int | None = None, verbose: bool = False,
+            warmup: bool = True):
+        """Timed run. With warmup (default), one full untimed cycle first
+        triggers every kernel's compilation, then the state is restored —
+        so Times.csv measures steady-state execution, not XLA compiles
+        (matching what the reference's -DTIME timers measure)."""
         cycles = cycles if cycles is not None else self.config.num_cycles
+        if warmup:
+            snap_v = list(self.variables)
+            snap_r = list(self.residuals)
+            self._recording = False
+            try:
+                self.run(cycles=1, warmup=False)
+            finally:
+                self._recording = True
+                self.variables = snap_v
+                self.residuals = snap_r
+                self.rms_history = []
         L = len(self.dmesh.levels)
         t_start = time.perf_counter()
         for i in range(cycles):
