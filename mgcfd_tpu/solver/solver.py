@@ -54,6 +54,7 @@ class DeviceLevel:
     prolong_tables: Optional[Any] = None   # dict, see build_prolong_tables
     prolong_shift_tables: Optional[Any] = None  # dict, span-dense prolong
     shift: Optional[Any] = None   # (deltas, [weights], (sa, sb, sw))
+    shift_wpad_t: Optional[Any] = None  # (D, 3, N) zero-padded weights
     pallas_flux: Optional[Any] = None  # PallasShiftFlux kernel
 
 
@@ -96,6 +97,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
             ell = _dc.replace(t, slots=put(t.slots, jnp.int32),
                               signs=put(t.signs, jnp.int8))
         shift = None
+        shift_wpad_t = None
         pallas_flux = None
         if config.accumulate in ("shift", "pallas"):
             from ..prep.shift import build_shift_plan
@@ -104,6 +106,11 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                      (put(plan.spill_a, jnp.int32),
                       put(plan.spill_b, jnp.int32),
                       put(plan.spill_w)))
+            if plan.deltas:
+                wpad = np.zeros((len(plan.deltas), 3, l.num_nodes))
+                for i, w in enumerate(plan.weights):
+                    wpad[i, :, :w.shape[0]] = w.T
+                shift_wpad_t = put(wpad)
             if config.accumulate == "pallas":
                 from ..pallas.flux_shift import pallas_shift_flux
                 interp = jax.default_backend() == "cpu"
@@ -111,7 +118,8 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                                                 dtype=dtype,
                                                 interpret=interp)
         dlevels.append(DeviceLevel(
-            ell=ell, shift=shift, pallas_flux=pallas_flux,
+            ell=ell, shift=shift, shift_wpad_t=shift_wpad_t,
+            pallas_flux=pallas_flux,
             volumes=put(l.volumes),
             coords=None if l.coords is None else put(l.coords),
             edge_a=put(l.edge_a, jnp.int32),
@@ -280,6 +288,8 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
     def internal_flux(qv):
         if config.accumulate == "pallas" and lvl.pallas_flux is not None:
             return lvl.pallas_flux(qv)
+        if lvl.shift_wpad_t is not None:
+            return tops.t_shift_flux_rolled(deltas, lvl.shift_wpad_t, qv)
         return tops.t_shift_flux(deltas, weights_t, qv, lvl.num_nodes)
 
     invalid = jnp.int32(0)
