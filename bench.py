@@ -92,12 +92,18 @@ def main():
             elif cfg.transposed:
                 from mgcfd_tpu.ops import tops
                 deltas, weights, _ = lvl0.shift
-                weights_t = [w.T for w in weights]
+                if lvl0.shift_wpad_t is not None:
+                    wpad = lvl0.shift_wpad_t
 
-                def flux_fn(v, deltas=deltas, weights_t=weights_t,
-                            lvl0=lvl0):
-                    return tops.t_shift_flux(deltas, weights_t, v,
-                                             lvl0.num_nodes)
+                    def flux_fn(v, deltas=deltas, wpad=wpad):
+                        return tops.t_shift_flux_rolled(deltas, wpad, v)
+                else:
+                    weights_t = [w.T for w in weights]
+
+                    def flux_fn(v, deltas=deltas, weights_t=weights_t,
+                                lvl0=lvl0):
+                        return tops.t_shift_flux(deltas, weights_t, v,
+                                                 lvl0.num_nodes)
                 flux_fn = jax.jit(flux_fn)
                 arg = v0_t
             else:
