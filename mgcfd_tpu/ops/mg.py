@@ -221,12 +221,16 @@ def build_prolong_shift(fine_coords, coarse_coords, mapping,
         return np.nan_to_num(out, posinf=0.0, neginf=0.0)
 
     span = edge_b.astype(np.int64) - edge_a.astype(np.int64)
-    assert (span > 0).all()
-    cnt = np.bincount(span)
+    # reversed edges (a > b; possible after renumbering) cannot be
+    # direction-normalised here — prolongation is endpoint-asymmetric
+    # (the a1->b2 quirk) — so they go to the spill path untouched
+    pos = span > 0
+    cnt = np.bincount(np.where(pos, span, 0))
     chosen = [int(d) for d in np.argsort(cnt)[::-1][:max_deltas]
               if d > 0 and cnt[d] >= max(1, min_density * n)]
 
     covered = np.zeros(span.shape[0], dtype=bool)
+    covered[~pos] = False  # (explicit: negative spans always spill)
     per_delta = []
     for d in chosen:
         sel = np.flatnonzero((span == d) & ~covered)

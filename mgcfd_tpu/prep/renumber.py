@@ -58,23 +58,34 @@ def rcm_order(num_nodes: int, edge_a: np.ndarray,
     return order[::-1].copy()  # the "reverse" in RCM
 
 
-def apply_node_order(lvl: MeshLevel, order: np.ndarray,
-                     mg_from_above: np.ndarray | None = None) -> MeshLevel:
+def apply_node_order(lvl: MeshLevel, order: np.ndarray) -> MeshLevel:
     """Permute a level's node arrays so new_id i holds old node order[i].
     Edges/mappings are re-indexed; edge and class ordering is preserved.
-
-    mg_from_above: the FINER level's mg_mapping into this level (if any) —
-    returned permuted values must be fixed by the caller; here we only fix
-    this level's own outgoing mg_mapping indices (values live in the next
-    level's namespace and are untouched)."""
+    The level's own mg_mapping rows are permuted (it is indexed by this
+    level's node ids); its VALUES live in the next level's namespace and
+    must be fixed by the caller if that level is renumbered too (see
+    renumber_hierarchy)."""
+    if lvl.mg_mapping is not None and \
+            lvl.mg_mapping.shape[0] != lvl.num_nodes:
+        raise ValueError("renumbering requires a full fine->coarse "
+                         "mapping (one entry per node)")
     inv = np.empty_like(order)
     inv[order] = np.arange(order.shape[0])
+    ea = inv[lvl.edge_a].astype(np.int32)
+    eb = inv[lvl.edge_b].astype(np.int32)
+    ew = lvl.edge_w
+    # NOTE: edges may end up with a > b after renumbering. Do NOT flip
+    # them: the flux value is antisymmetric (flip-safe), but the
+    # reference's prolongation treats the two endpoints asymmetrically
+    # (the a1->b2 residual quirk, mg_loops.cpp:804-810), so orientation
+    # is semantically significant. Downstream span decompositions
+    # normalise internally where safe (flux) and spill where not
+    # (prolongation).
     new = dataclasses.replace(
         lvl,
         volumes=lvl.volumes[order],
         coords=None if lvl.coords is None else lvl.coords[order],
-        edge_a=inv[lvl.edge_a].astype(np.int32),
-        edge_b=inv[lvl.edge_b].astype(np.int32),
+        edge_a=ea, edge_b=eb, edge_w=ew,
         bedge_b=inv[lvl.bedge_b].astype(np.int32),
         wedge_b=inv[lvl.wedge_b].astype(np.int32),
         mg_mapping=None if lvl.mg_mapping is None
@@ -82,6 +93,36 @@ def apply_node_order(lvl: MeshLevel, order: np.ndarray,
     )
     new.validate()
     return new
+
+
+def renumber_hierarchy(mesh, method: str = "rcm"):
+    """RCM-renumber every level of a MultigridMesh, consistently fixing
+    the inter-level mappings (renumbering level l permutes the VALUES of
+    level l-1's mg_mapping and the ROWS of level l's own mapping).
+
+    Imported real meshes arrive in arbitrary node order; this is the
+    preprocessing that makes the shift-decomposition flux path (and
+    contiguous-block partitioning) effective on them. Returns a new
+    MultigridMesh; the input is not modified.
+    """
+    from ..core.types import MultigridMesh
+
+    levels = list(mesh.levels)
+    new_levels = []
+    inv_orders = []
+    for l, lvl in enumerate(levels):
+        order = rcm_order(lvl.num_nodes, lvl.edge_a, lvl.edge_b)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.shape[0])
+        new = apply_node_order(lvl, order)
+        new_levels.append(new)
+        inv_orders.append(inv)
+        if l > 0 and new_levels[l - 1].mg_mapping is not None:
+            # finer level's mapping VALUES live in this level's namespace
+            new_levels[l - 1].mg_mapping = \
+                inv[new_levels[l - 1].mg_mapping]
+    return MultigridMesh(levels=new_levels, variant=mesh.variant,
+                         problem_size=mesh.problem_size, name=mesh.name)
 
 
 def locality_stats(lvl: MeshLevel) -> dict:
