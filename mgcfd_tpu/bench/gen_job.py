@@ -31,8 +31,10 @@ import os
 import stat
 import sys
 
+# FLUX_REUSE_FLUX is structurally always-on here (the b-side value is
+# the exact negation of the a-side everywhere), so it is not a sweep axis.
 FLUX_FLAGS = ["FLUX_CRIPPLE", "FLUX_PRECOMPUTE_EDGE_WEIGHTS",
-              "FLUX_FISSION"]
+              "FLUX_FISSION", "FLUX_REUSE_DIV", "FLUX_REUSE_FACTOR"]
 
 DEFAULTS = {
     "compile": {"dtypes": ["float32"], "accumulate": ["segment"],

@@ -123,6 +123,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flux-fission", action="store_true",
                    help="two-phase flux: per-edge store + update "
                         "(FLUX_FISSION)")
+    p.add_argument("--flux-reuse-div", action="store_true",
+                   help="FLUX_REUSE_DIV (reporting only; XLA already "
+                        "shares reciprocals)")
+    p.add_argument("--flux-reuse-factor", action="store_true",
+                   help="FLUX_REUSE_FACTOR (reporting only)")
     p.add_argument("--no-indirect-rw", action="store_true",
                    help="skip the indirect_rw data-movement twin")
     p.add_argument("--checkpoint-dir", default=None)
@@ -180,6 +185,8 @@ def main(argv=None) -> int:
     cfg.flux_cripple |= args.flux_cripple
     cfg.flux_precompute_edge_weights |= args.flux_precompute_edge_weights
     cfg.flux_fission |= args.flux_fission
+    cfg.flux_reuse_div |= args.flux_reuse_div
+    cfg.flux_reuse_factor |= args.flux_reuse_factor
     if args.no_indirect_rw:
         cfg.include_indirect_rw = False
     if args.checkpoint_dir is not None:

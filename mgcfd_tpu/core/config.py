@@ -33,6 +33,13 @@ class SolverConfig:
     flux_cripple: bool = False        # FLUX_CRIPPLE: memory-bound twin runs too
     flux_precompute_edge_weights: bool = False  # FLUX_PRECOMPUTE_EDGE_WEIGHTS
     flux_reuse_flux: bool = False     # FLUX_REUSE_FLUX (b-side = -a-side)
+    # FLUX_REUSE_DIV / FLUX_REUSE_FACTOR are micro-optimisations of the
+    # reference's scalar code (shared reciprocals / reused dissipation
+    # factor); under XLA these rewrites are the compiler's job and the
+    # math here already shares subexpressions, so the flags only affect
+    # reporting (CSV "Flux options" field) for sweep-schema parity:
+    flux_reuse_div: bool = False      # FLUX_REUSE_DIV
+    flux_reuse_factor: bool = False   # FLUX_REUSE_FACTOR
     include_indirect_rw: bool = True  # reference always runs it in the RK loop
 
     # --- checkpoint / resume (new capability; SURVEY 5.4) ---
@@ -56,6 +63,10 @@ class SolverConfig:
         s = ""
         if self.flux_precompute_edge_weights:
             s += "PrecomputeLength;"
+        if self.flux_reuse_div:
+            s += "Reciprocal;"
+        if self.flux_reuse_factor:
+            s += "ReuseFactor;"
         if self.flux_reuse_flux:
             s += "ReuseFluxes;"
         return s
