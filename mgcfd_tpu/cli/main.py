@@ -154,6 +154,10 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        # without this, jax silently truncates fp64 arrays to fp32
+        import jax
+        jax.config.update("jax_enable_x64", True)
     cfg = SolverConfig()
     if args.config_filepath:
         read_config_file(args.config_filepath, cfg)

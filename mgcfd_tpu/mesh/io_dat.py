@@ -211,13 +211,19 @@ def load_multigrid_mesh(input_dat_path: str,
     """Load a complete hierarchy the way the reference driver does
     (euler3d_cpu_double.cpp:104-254), minus the .bin cache (see
     mesh.cache for the npz equivalent)."""
+    from ..utils.logging import log
     base = directory or os.path.dirname(input_dat_path)
     size, num_levels, variant, level_files, mg_files = read_input_dat(
         input_dat_path)
+    log("read_input_dat: %d levels, variant=%s", num_levels,
+        variant.value)
     levels = []
     for i, name in enumerate(level_files):
         lvl = read_grid_dat(os.path.join(base, name), variant,
                             need_coords=num_levels > 1)
+        log("level %d: %d nodes, %d/%d/%d internal/boundary/wall edges",
+            i, lvl.num_nodes, lvl.num_internal_edges,
+            lvl.num_boundary_edges, lvl.num_wall_edges)
         if i < num_levels - 1 and mg_files:
             lvl.mg_mapping = read_mg_connectivity(
                 os.path.join(base, mg_files[i]))

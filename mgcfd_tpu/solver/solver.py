@@ -71,7 +71,10 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
     """Condition edge weights per mesh variant (euler3d:333-352), optionally
     precompute |e| (FLUX_PRECOMPUTE_EDGE_WEIGHTS, euler3d:354-362), cast to
     the configured dtype and upload."""
+    from ..utils.logging import log
     dtype = jnp.dtype(config.dtype)
+    log("prepare_device_mesh: %d levels, dtype=%s, accumulate=%s",
+        len(mesh.levels), config.dtype, config.accumulate)
     # conditioning mutates edge weights: work on copies
     levels = [dataclasses.replace(l) for l in mesh.levels]
     for l in levels:
