@@ -52,9 +52,28 @@ def _split_kernel_cols(header):
     return out
 
 
+def _read_costs(path):
+    """XLACosts.csv -> {(kernel, level): (flops, bytes)} per invocation."""
+    r = _read_wide_csv(path)
+    if r is None:
+        return {}
+    header, rows = r
+    kcols = _split_kernel_cols(header)
+    out = {}
+    by_event = {row.get("Event", ""): row for row in rows}
+    fl = by_event.get("XLA_FLOPS_ESTIMATE", {})
+    by = by_event.get("XLA_BYTES_ACCESSED_ESTIMATE", {})
+    ca = by_event.get("CALLS", {})
+    for key, col in kcols.items():
+        out[key] = (float(fl.get(col, 0) or 0),
+                    float(by.get(col, 0) or 0),
+                    float(ca.get(col, 0) or 0))
+    return out
+
+
 def collate(jobs_dir: str):
     """-> list of records: one per (job, kernel, level) with id columns,
-    seconds, iterations."""
+    seconds, iterations, and per-invocation flop/byte estimates."""
     records = []
     for root, dirs, files in os.walk(jobs_dir):
         if "Times.csv" not in files:
@@ -62,6 +81,8 @@ def collate(jobs_dir: str):
         t = _read_wide_csv(os.path.join(root, "Times.csv"))
         i = _read_wide_csv(os.path.join(root, "LoopNumIters.csv")) \
             if "LoopNumIters.csv" in files else None
+        costs = _read_costs(os.path.join(root, "XLACosts.csv")) \
+            if "XLACosts.csv" in files else {}
         if t is None:
             continue
         theader, trows = t
@@ -75,9 +96,13 @@ def collate(jobs_dir: str):
                 iters = float(irow.get(col, 0) or 0)
                 if secs == 0 and iters == 0:
                     continue
+                fl, by, calls = costs.get((kernel, level),
+                                          (0.0, 0.0, 0.0))
                 records.append({**ident, "job": os.path.basename(root),
                                 "kernel": kernel, "level": level,
                                 "seconds": secs, "iterations": iters,
+                                "flops_total": fl * calls,
+                                "bytes_total": by * calls,
                                 "total": float(trow.get("Total", 0) or 0)})
     return records
 
@@ -104,6 +129,8 @@ def aggregate(records):
         mean_i = sum(iters) / n
         std_s = (sum((x - mean_s) ** 2 for x in secs) / n) ** 0.5
         rec = dict(zip(ID_COLS, ident_vals))
+        mean_fl = sum(r.get("flops_total", 0.0) for r in rs) / n
+        mean_by = sum(r.get("bytes_total", 0.0) for r in rs) / n
         rec.update({
             "config": base, "kernel": kernel, "level": level,
             "num repeats": n,
@@ -111,6 +138,11 @@ def aggregate(records):
             "seconds std pct": (100.0 * std_s / mean_s) if mean_s else 0.0,
             "iterations": mean_i,
             "iters/sec": (mean_i / mean_s) if mean_s else 0.0,
+            # derived metrics (reference: aggregate-output-data.py:542-724;
+            # flop counts from the compiler instead of x86 asm regexes)
+            "GFLOPs/sec": (mean_fl / mean_s / 1e9) if mean_s else 0.0,
+            "GB/sec": (mean_by / mean_s / 1e9) if mean_s else 0.0,
+            "Flops/Byte": (mean_fl / mean_by) if mean_by else 0.0,
             "total mean": sum(r["total"] for r in rs) / n,
         })
         out.append(rec)

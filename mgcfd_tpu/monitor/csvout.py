@@ -123,7 +123,7 @@ def write_loop_stats_csv(prefix: str, ident: CsvIdentification,
 
 def write_costs_csv(prefix: str, ident: CsvIdentification,
                     flops: dict, bytes_accessed: dict,
-                    num_levels: int) -> str:
+                    num_levels: int, calls: dict | None = None) -> str:
     """XLACosts.csv — the PAPI.csv analogue. PAPI hardware counters don't
     exist for TPU user code; the compiler's cost analysis provides the
     same per-kernel flop/byte attribution the reference derived from
@@ -135,8 +135,11 @@ def write_costs_csv(prefix: str, ident: CsvIdentification,
         for k in KERNEL_COLUMNS:
             header += f"{k}{l},"
     lines = [header]
-    for event, data in (("XLA_FLOPS_ESTIMATE", flops),
-                        ("XLA_BYTES_ACCESSED_ESTIMATE", bytes_accessed)):
+    events = [("XLA_FLOPS_ESTIMATE", flops),
+              ("XLA_BYTES_ACCESSED_ESTIMATE", bytes_accessed)]
+    if calls is not None:
+        events.append(("CALLS", calls))
+    for event, data in events:
         row = ident.row() + f"0,0,{event},"
         for l in range(num_levels):
             for k in KERNEL_COLUMNS:

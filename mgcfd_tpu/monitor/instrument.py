@@ -52,6 +52,7 @@ from ..solver.solver import prepare_device_mesh
 class KernelStats:
     times: dict            # (kernel, level) -> seconds
     iters: dict            # (kernel, level) -> iteration count
+    calls: dict            # (kernel, level) -> invocation count
     flops: dict            # (kernel, level) -> flop estimate (XLA)
     bytes_accessed: dict   # (kernel, level) -> bytes estimate (XLA)
     total_time: float = 0.0
@@ -79,7 +80,8 @@ class InstrumentedSolver:
         self.ff_flux = jnp.asarray(ff_flux, self.dtype)
         self.ff_q = jnp.asarray(ff_q, self.dtype)
         self.stats = KernelStats(defaultdict(float), defaultdict(int),
-                                 defaultdict(float), defaultdict(float))
+                                 defaultdict(int), defaultdict(float),
+                                 defaultdict(float))
         self._build_kernels()
         self.variables = [jnp.tile(self.ff_q[None, :], (l.num_nodes, 1))
                           for l in self.dmesh.levels]
@@ -156,6 +158,7 @@ class InstrumentedSolver:
         if self._recording:
             self.stats.times[(name, l)] += time.perf_counter() - t0
             self.stats.iters[(name, l)] += iters
+            self.stats.calls[(name, l)] += 1
         return out
 
     def record_costs(self):
@@ -256,5 +259,6 @@ class InstrumentedSolver:
                 self.record_costs()
             paths.append(write_costs_csv(
                 prefix, ident, dict(self.stats.flops),
-                dict(self.stats.bytes_accessed), L))
+                dict(self.stats.bytes_accessed), L,
+                calls=dict(self.stats.calls)))
         return tuple(paths)

@@ -68,5 +68,9 @@ def test_generate_and_aggregate(tmp_path):
     assert len(flux_rows) == 1          # repeats merged
     assert flux_rows[0]["num repeats"] == 2
     assert flux_rows[0]["iters/sec"] > 0
+    # derived metrics from XLACosts (flops estimate * call count)
+    assert flux_rows[0]["GFLOPs/sec"] > 0
+    assert flux_rows[0]["GB/sec"] > 0
+    assert flux_rows[0]["Flops/Byte"] > 0
     out = write_combined(str(tmp_path / "combined.csv"), rows)
     assert os.path.getsize(out) > 0

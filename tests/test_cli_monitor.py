@@ -110,11 +110,12 @@ def test_instrumented_matches_fused(dataset, tmp_path):
         assert col in header
     rows = open(p2).read().splitlines()
     assert len(rows) == 2
-    # XLACosts.csv: two event rows with positive flux flop estimates
+    # XLACosts.csv: flop/byte estimate rows plus the call-count row
     cost_rows = open(p3).read().splitlines()
-    assert len(cost_rows) == 3
+    assert len(cost_rows) == 4
     assert "XLA_FLOPS_ESTIMATE" in cost_rows[1]
     assert "XLA_BYTES_ACCESSED_ESTIMATE" in cost_rows[2]
+    assert "CALLS" in cost_rows[3]
 
 
 def test_instrumented_fission_matches(dataset):
