@@ -55,6 +55,7 @@ class DeviceLevel:
     prolong_shift_tables: Optional[Any] = None  # dict, span-dense prolong
     shift: Optional[Any] = None   # (deltas, [weights], (sa, sb, sw))
     shift_wpad_t: Optional[Any] = None  # (D, 3, N) zero-padded weights
+    dense_bw_t: Optional[Any] = None  # (bd_normal, wall_normal, wall_const)
     pallas_flux: Optional[Any] = None  # PallasShiftFlux kernel
 
 
@@ -101,6 +102,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                               signs=put(t.signs, jnp.int8))
         shift = None
         shift_wpad_t = None
+        dense_bw_t = None
         pallas_flux = None
         if config.accumulate in ("shift", "pallas"):
             from ..prep.shift import build_shift_plan
@@ -114,6 +116,11 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 for i, w in enumerate(plan.weights):
                     wpad[i, :, :w.shape[0]] = w.T
                 shift_wpad_t = put(wpad)
+            from ..ops.tops import build_dense_boundary_wall
+            bdn, wln, wlc = build_dense_boundary_wall(
+                l.num_nodes, l.bedge_b, l.bedge_w, l.wedge_b, l.wedge_w,
+                far_field_state(np.float64)[1])
+            dense_bw_t = (put(bdn), put(wln), put(wlc))
             if config.accumulate == "pallas":
                 from ..pallas.flux_shift import pallas_shift_flux
                 interp = jax.default_backend() == "cpu"
@@ -122,7 +129,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                                                 interpret=interp)
         dlevels.append(DeviceLevel(
             ell=ell, shift=shift, shift_wpad_t=shift_wpad_t,
-            pallas_flux=pallas_flux,
+            dense_bw_t=dense_bw_t, pallas_flux=pallas_flux,
             volumes=put(l.volumes),
             coords=None if l.coords is None else put(l.coords),
             edge_a=put(l.edge_a, jnp.int32),
@@ -304,14 +311,20 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
             flux = flux + tops.t_segment_accumulate(
                 jnp.concatenate([val, -val], axis=1),
                 jnp.concatenate([sa, sb]), lvl.num_nodes)
-        val_bd = tops.t_boundary_edge_flux(q[:, lvl.bedge_b],
-                                           lvl.bedge_w.T)
-        # ff_flux is already (3, 5) = [direction, variable]
-        val_w = tops.t_wall_edge_flux(q[:, lvl.wedge_b], lvl.wedge_w.T,
-                                      ff_flux)
-        flux = flux + tops.t_segment_accumulate(
-            jnp.concatenate([val_bd, val_w], axis=1),
-            jnp.concatenate([lvl.bedge_b, lvl.wedge_b]), lvl.num_nodes)
+        if lvl.dense_bw_t is not None:
+            bdn, wln, wlc = lvl.dense_bw_t
+            flux = flux + tops.t_dense_boundary_wall_flux(q, bdn, wln,
+                                                          wlc)
+        else:
+            val_bd = tops.t_boundary_edge_flux(q[:, lvl.bedge_b],
+                                               lvl.bedge_w.T)
+            # ff_flux is already (3, 5) = [direction, variable]
+            val_w = tops.t_wall_edge_flux(q[:, lvl.wedge_b],
+                                          lvl.wedge_w.T, ff_flux)
+            flux = flux + tops.t_segment_accumulate(
+                jnp.concatenate([val_bd, val_w], axis=1),
+                jnp.concatenate([lvl.bedge_b, lvl.wedge_b]),
+                lvl.num_nodes)
 
         q = tops.t_time_step(j, sf, flux, old)
         bad = ~jnp.isfinite(q)
