@@ -80,6 +80,11 @@ class ShardedLevelData:
     # stream (replaced by degenerate padding) and live in dense diagonals
     shift_deltas: list | None = None       # [d0, d1, ...]
     shift_w: np.ndarray | None = None      # (P, D, B, 3) dense weights
+    # dense per-node boundary/wall aggregates (see ops.tops
+    # t_dense_boundary_wall_flux): all faces of a node collapse into one
+    # aggregated normal because both fluxes read only the node's state
+    dense_bd: np.ndarray | None = None     # (P, B, 3)
+    dense_wl: np.ndarray | None = None     # (P, B, 3)
     # prolongation needs ALL fine internal edges regardless of the flux
     # stream's shift coverage: its own full destination stream
     pro_dest_a: np.ndarray | None = None   # (P, Efull) int32 combined idx
@@ -232,8 +237,17 @@ def partition_level(lvl: MeshLevel, P: int,
         if coords is not None:
             coords[p, :hi - lo] = lvl.coords[lo:hi]
 
+    dense_bd = np.zeros((P, B, 3))
+    dense_wl = np.zeros((P, B, 3))
+    for arr, idx_all, w_all in ((dense_bd, lvl.bedge_b, lvl.bedge_w),
+                                 (dense_wl, lvl.wedge_b, lvl.wedge_w)):
+        p_of = part(idx_all.astype(np.int64))
+        loc = local(idx_all.astype(np.int64))
+        np.add.at(arr, (p_of, loc), w_all)
+
     return ShardedLevelData(
         volumes=volumes, node_mask=node_mask, coords=coords,
+        dense_bd=dense_bd, dense_wl=dense_wl,
         edge_a=edge_a, edge_b=edge_b, edge_w=edge_w,
         bedge_b=bedge_b, bedge_w=bedge_w, wedge_b=wedge_b, wedge_w=wedge_w,
         sep_idx=sep_idx, sep_mask=sep_mask,

@@ -83,11 +83,6 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
             rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
                 (), variables.dtype)
         val = internal_edge_flux(q_a, q_b, const["edge_w"])
-        val_bd = boundary_edge_flux(variables[const["bedge_b"]],
-                                    const["bedge_w"])
-        val_w = wall_edge_flux(variables[const["wedge_b"]],
-                               const["wedge_w"], ff_flux)
-
         dest = jnp.concatenate([const["edge_a"], const["edge_b"]])
         vals = jnp.concatenate([val, -val])
         seg = jax.ops.segment_sum(vals, dest, num_segments=B + pool_sz)
@@ -100,10 +95,23 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
                     const["shift_w"][di, :B - d])
                 flux = flux.at[:B - d].add(sval)
                 flux = flux.at[d:].add(-sval)
-        flux = flux + jax.ops.segment_sum(val_bd, const["bedge_b"],
-                                          num_segments=B)
-        flux = flux + jax.ops.segment_sum(val_w, const["wedge_b"],
-                                          num_segments=B)
+        if "dense_bd" in const:
+            # dense aggregated boundary/wall (ops.tops semantics,
+            # node-major orientation)
+            from ..ops.tops import t_dense_boundary_wall_flux
+            bw = t_dense_boundary_wall_flux(
+                variables.T, const["dense_bd"].T, const["dense_wl"].T,
+                const["dense_wlc"].T)
+            flux = flux + bw.T
+        else:
+            val_bd = boundary_edge_flux(variables[const["bedge_b"]],
+                                        const["bedge_w"])
+            val_w = wall_edge_flux(variables[const["wedge_b"]],
+                                   const["wedge_w"], ff_flux)
+            flux = flux + jax.ops.segment_sum(val_bd, const["bedge_b"],
+                                              num_segments=B)
+            flux = flux + jax.ops.segment_sum(val_w, const["wedge_b"],
+                                              num_segments=B)
         # halo out: foreign contributions return to their owners
         recv = jax.lax.psum_scatter(
             seg[B:].reshape(sd.P, sd.smax, NVAR), AXIS,
@@ -220,6 +228,13 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
     }
     if sd.shift_deltas:
         sharded_const["shift_w"] = to_dev(sd.shift_w)
+    if sd.dense_bd is not None:
+        sharded_const["dense_bd"] = to_dev(sd.dense_bd)
+        sharded_const["dense_wl"] = to_dev(sd.dense_wl)
+        fff = np.asarray(far_field_state(np.float64)[1])
+        # per-shard wall far-field constant: 0.5 * W . F_ff, (P, B, 5)
+        sharded_const["dense_wlc"] = to_dev(
+            0.5 * np.einsum("pbd,dv->pbv", sd.dense_wl, fff))
     if sd.mg_mapping is not None:
         sharded_const.update({
             "mg_mapping": to_dev(sd.mg_mapping, jnp.int32),
