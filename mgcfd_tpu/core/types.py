@@ -51,6 +51,11 @@ class MeshLevel:
     # (reference read_mg_connectivity, io_enhanced.cpp:629-650).
     mg_mapping: Optional[np.ndarray] = None  # (mg_size,) int64 or None
 
+    # Optional annotation: node ids form an (nx, ny, nz) row-major grid
+    # (set by the box generator). Enables structured fast paths (e.g.
+    # strided-slice restriction); never required for correctness.
+    structured_dims: Optional[tuple] = None
+
     @property
     def num_nodes(self) -> int:
         return int(self.volumes.shape[0])

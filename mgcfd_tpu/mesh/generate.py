@@ -92,7 +92,8 @@ def _box_level(nx: int, ny: int, nz: int, h, origin, volume_jitter: float,
     lvl = MeshLevel(volumes=volumes, coords=coords,
                     edge_a=edge_a, edge_b=edge_b, edge_w=edge_w,
                     bedge_b=bedge_b, bedge_w=bedge_w,
-                    wedge_b=wedge_b, wedge_w=wedge_w)
+                    wedge_b=wedge_b, wedge_w=wedge_w,
+                    structured_dims=(nx, ny, nz))
     lvl.validate()
     return lvl
 

@@ -136,6 +136,62 @@ def prolong_residuals_interpolate(res_coarse, res_fine, vars_fine,
 
 
 # ---------------------------------------------------------------------------
+# structured (parity) coarsening fast paths — no gathers at all
+# ---------------------------------------------------------------------------
+
+def is_parity_coarsening(mapping, fdims, cdims) -> bool:
+    """True iff mapping equals the canonical 2x-per-dimension parity
+    coarsening of an (fnx,fny,fnz) row-major grid onto (cnx,cny,cnz)."""
+    import numpy as np
+
+    fnx, fny, fnz = fdims
+    cnx, cny, cnz = cdims
+    if mapping is None or mapping.shape[0] != fnx * fny * fnz:
+        return False
+    if tuple(-(-d // 2) for d in fdims) != tuple(cdims):
+        return False
+    fi = np.arange(fnx * fny * fnz)
+    fz = fi % fnz
+    fy = (fi // fnz) % fny
+    fx = fi // (fnz * fny)
+    canon = ((fx // 2) * cny + (fy // 2)) * cnz + (fz // 2)
+    return bool(np.array_equal(mapping, canon))
+
+
+def mg_restrict_structured(vars_fine, vars_coarse, fdims, cdims,
+                           counts, mapped):
+    """Parity restriction: reshape to the grid and sum the eight strided
+    parity slices — zero indirect addressing. Semantics identical to
+    mg_restrict_gather (average; unmapped keep old)."""
+    fnx, fny, fnz = fdims
+    cnx, cny, cnz = cdims
+    nv = vars_fine.shape[-1]
+    f = vars_fine.reshape(fnx, fny, fnz, nv)
+    sums = jnp.zeros((cnx, cny, cnz, nv), vars_fine.dtype)
+    for i in (0, 1):
+        for j in (0, 1):
+            for k in (0, 1):
+                sl = f[i::2, j::2, k::2]
+                sums = sums.at[:sl.shape[0], :sl.shape[1],
+                               :sl.shape[2]].add(sl)
+    sums = sums.reshape(cnx * cny * cnz, nv)
+    safe = jnp.where(mapped, counts, jnp.ones_like(counts))
+    return jnp.where(mapped[:, None], sums / safe[:, None], vars_coarse)
+
+
+def structured_upsample(res_coarse, fdims, cdims):
+    """G = res_coarse[parity_mapping] as dense 2x repeats + crop:
+    the parent-gather of the prolongation, gather-free."""
+    fnx, fny, fnz = fdims
+    cnx, cny, cnz = cdims
+    nv = res_coarse.shape[-1]
+    c = res_coarse.reshape(cnx, cny, cnz, nv)
+    up = jnp.repeat(jnp.repeat(jnp.repeat(c, 2, axis=0), 2, axis=1),
+                    2, axis=2)
+    return up[:fnx, :fny, :fnz].reshape(fnx * fny * fnz, nv)
+
+
+# ---------------------------------------------------------------------------
 # gather-transpose prolongation (TPU-fast; same semantics)
 # ---------------------------------------------------------------------------
 
@@ -273,7 +329,10 @@ def prolong_shift(res_coarse, res_fine, vars_fine, t, transposed=False):
     """Runtime of build_prolong_shift. When `transposed`, res_fine and
     vars_fine are (5, N) and the result is (5, N); res_coarse is always
     node-major (coarse levels are small)."""
-    G = res_coarse[t["parent"]]                 # (N, 5) — the ONE gather
+    if "structured" in t:
+        G = structured_upsample(res_coarse, *t["structured"])
+    else:
+        G = res_coarse[t["parent"]]             # (N, 5) — the ONE gather
     if transposed:
         G = G.T
         n = vars_fine.shape[1]

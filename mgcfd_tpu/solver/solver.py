@@ -51,6 +51,8 @@ class DeviceLevel:
     num_nodes: int
     ell: Optional[Any] = None     # IncidenceTables with device arrays
     restrict_tables: Optional[Any] = None  # (children, mask, mapped)
+    restrict_structured: Optional[Any] = None  # (fdims, cdims, counts,
+    # mapped) when this level's coarsening is a parity grid map
     prolong_tables: Optional[Any] = None   # dict, see build_prolong_tables
     prolong_shift_tables: Optional[Any] = None  # dict, span-dense prolong
     shift: Optional[Any] = None   # (deltas, [weights], (sa, sb, sw))
@@ -155,6 +157,19 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 fine.mg_mapping, coarse.num_nodes)
             dlevels[i].restrict_tables = (
                 put(ch, jnp.int32), put(mask), jnp.asarray(mapped))
+            # structured parity coarsening: strided slices replace the
+            # children gather entirely
+            from ..ops.mg import is_parity_coarsening
+            if (fine.structured_dims and coarse.structured_dims
+                    and is_parity_coarsening(fine.mg_mapping,
+                                             fine.structured_dims,
+                                             coarse.structured_dims)):
+                counts = np.bincount(fine.mg_mapping,
+                                     minlength=coarse.num_nodes)
+                dlevels[i].restrict_structured = (
+                    tuple(fine.structured_dims),
+                    tuple(coarse.structured_dims),
+                    put(counts.astype(np.float64)), jnp.asarray(mapped))
             if (fine.coords is not None and coarse.coords is not None
                     and fine.mg_mapping.shape[0] == fine.num_nodes):
                 from ..ops.mg import build_prolong_shift
@@ -176,7 +191,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 ps = build_prolong_shift(
                     fine.coords, coarse.coords, fine.mg_mapping,
                     fine.edge_a, fine.edge_b)
-                dlevels[i].prolong_shift_tables = {
+                pst = {
                     "per_delta": [tuple([d] + [conv(x) for x in rest])
                                   for d, *rest in ps["per_delta"]],
                     "spill": None if ps["spill"] is None
@@ -184,6 +199,13 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                     "coincident": conv(ps["coincident"]),
                     "parent": conv(ps["parent"]),
                 }
+                from ..ops.mg import is_parity_coarsening as _ipc
+                if (fine.structured_dims and coarse.structured_dims
+                        and _ipc(fine.mg_mapping, fine.structured_dims,
+                                 coarse.structured_dims)):
+                    pst["structured"] = (tuple(fine.structured_dims),
+                                         tuple(coarse.structured_dims))
+                dlevels[i].prolong_shift_tables = pst
 
     ff_q, ff_flux = far_field_state(np.float64)
     return DeviceMesh(levels=dlevels, variant=mesh.variant,
@@ -397,8 +419,15 @@ def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
             if l == 0:
                 rms = calc_rms(res)  # layout-agnostic (sum of squares)
             # restrict variables l -> l+1 (euler3d:547-552)
+            rs = dmesh.levels[l].restrict_structured
             rt = dmesh.levels[l].restrict_tables
-            if rt is not None:
+            if rs is not None:
+                from ..ops.mg import mg_restrict_structured
+                fdims, cdims, counts, mapped = rs
+                variables[l + 1] = st(mg_restrict_structured(
+                    nm(variables[l]), nm(variables[l + 1]), fdims, cdims,
+                    counts, mapped))
+            elif rt is not None:
                 from ..ops.mg import mg_restrict_gather
                 variables[l + 1] = st(mg_restrict_gather(
                     nm(variables[l]), nm(variables[l + 1]), *rt))
