@@ -134,11 +134,11 @@ def main():
         if solver is None:
             continue
         solver.config.check_invalid_every = 10 ** 9
-        solver.run(cycles=1)  # warm/compile
+        solver.run_batched(cycles, cycles)  # warm/compile
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            solver.run(cycles=cycles)
+            solver.run_batched(cycles, cycles)
             jax.block_until_ready(solver.state["variables"][0])
             best = min(best, (time.perf_counter() - t0) / cycles)
         cycle_times[mode] = best

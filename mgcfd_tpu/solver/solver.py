@@ -374,8 +374,8 @@ def state_is_transposed(dmesh: DeviceMesh, config: SolverConfig) -> bool:
             and all(l.shift is not None for l in dmesh.levels))
 
 
-def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
-    """Build the jit-compiled full-V-cycle step.
+def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
+    """Build the (untraced) full-V-cycle step closure.
 
     state: dict of per-level lists: variables, residuals — node-major
     (N,5), or variable-major (5,N) when state_is_transposed (saves the
@@ -468,7 +468,29 @@ def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
         new_state = {"variables": variables, "residuals": residuals}
         return new_state, rms, invalid_total, rw_token
 
-    return jax.jit(cycle, donate_argnums=(0,))
+    return cycle
+
+
+def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
+    return jax.jit(_raw_cycle_fn(dmesh, config), donate_argnums=(0,))
+
+
+def make_multi_cycle_fn(dmesh: DeviceMesh, config: SolverConfig,
+                        cycles_per_dispatch: int):
+    """K V-cycles per device dispatch via lax.scan: amortises the fixed
+    per-execution overhead (substantial through a remote TPU tunnel) and
+    compiles the cycle body once. Returns (state, rms[K], invalid[K])."""
+    raw = _raw_cycle_fn(dmesh, config)
+
+    def multi(state):
+        def body(s, _):
+            s2, rms, invalid, _tok = raw(s)
+            return s2, (rms, invalid)
+        state, (rms, invalid) = jax.lax.scan(
+            body, state, None, length=cycles_per_dispatch)
+        return state, rms, invalid
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 class MGCFDSolver:
@@ -545,6 +567,36 @@ class MGCFDSolver:
                 save_checkpoint(self.config.checkpoint_dir, self.mesh,
                                 self._state_node_major(),
                                 self.completed_cycles, self.rms_history)
+        return self.state
+
+    def run_batched(self, cycles: int, cycles_per_dispatch: int = 10,
+                    verbose: bool = False):
+        """Run cycles in K-per-dispatch batches (lax.scan inside one jit):
+        amortises per-execution overhead. The fail-fast NaN check runs
+        after each batch (per-cycle RMS/invalid are still computed on
+        device every cycle and returned stacked)."""
+        k = max(1, min(cycles_per_dispatch, cycles))
+        if getattr(self, "_multi_k", None) != k:
+            self._multi = make_multi_cycle_fn(self.dmesh, self.config, k)
+            self._multi_k = k
+        done = 0
+        while done < cycles:
+            if cycles - done < k:
+                # tail smaller than the batch: fall back to single steps
+                self.run(cycles - done, verbose=verbose)
+                return self.state
+            self.state, rms, invalid = self._multi(self.state)
+            done += k
+            self.completed_cycles += k
+            inv = int(invalid.sum())
+            if inv > 0:
+                raise FloatingPointError(
+                    f"invalid state detected within cycles "
+                    f"{done - k + 1}..{done}: {inv} bad entries")
+            self.rms_history.extend(float(x) for x in np.asarray(rms))
+            if verbose:
+                print(f"MG cycle {done} / {cycles} "
+                      f"(RMS = {self.rms_history[-1]:.3e})")
         return self.state
 
     def variables(self, level: int = 0) -> np.ndarray:

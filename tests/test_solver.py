@@ -71,6 +71,19 @@ def test_rms_decreases_then_solver_is_stable():
     assert solver.rms_history[-1] < 10 * max(solver.rms_history[:3])
 
 
+def test_run_batched_matches_unbatched():
+    """K-cycles-per-dispatch (lax.scan) must be bitwise identical to
+    single-cycle dispatches, including a non-divisible tail."""
+    mesh = generate_multigrid_box(5, 5, 5, 2, h=(0.1, 0.1, 0.1))
+    a = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    a.run(cycles=7)
+    b = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    b.run_batched(7, cycles_per_dispatch=3)
+    np.testing.assert_array_equal(b.variables(0), a.variables(0))
+    np.testing.assert_allclose(b.rms_history, a.rms_history, rtol=1e-12)
+    assert b.completed_cycles == 7
+
+
 def test_nan_guard_raises():
     lvl = generate_box_mesh(3, 3, 3)
     # poison the mesh: an enormous edge weight drives the state invalid
