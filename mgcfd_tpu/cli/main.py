@@ -16,23 +16,11 @@ import os
 import sys
 import time
 
-import numpy as np
-
 from ..core.config import SolverConfig
-from ..core.constants import NVAR
 from ..mesh import load_multigrid_mesh, duplicate_mesh
 from ..validate.golden import (
     dump_variables, dump_scalars, output_filepath, solution_filepath,
     read_solution, identify_differences)
-
-CONFIG_KEYS = {
-    "input_file": str, "input_file_directory": str,
-    "output_file_prefix": str, "mesh_duplicate_count": int,
-    "cycles": int, "output_variables": None, "output_step_factors": None,
-    "output_fluxes": None, "output_volumes": None,
-    "dtype": str, "partitions": int, "papi_config_file": str,
-}
-
 
 def read_config_file(path: str, cfg: SolverConfig) -> None:
     base = os.path.dirname(os.path.abspath(path))

@@ -10,7 +10,6 @@ so the harness/CSV schema lines up).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass

@@ -31,7 +31,6 @@ from ..ops import (
     internal_edge_flux, boundary_edge_flux, wall_edge_flux,
     compute_step_factor_legacy, time_step, residual,
     invalid_variables_count, mg_restrict, prolong_residuals_interpolate,
-    calc_rms,
 )
 from ..ops.physics import primitive_quantities
 from ..solver.solver import prepare_device_mesh, _visit
