@@ -16,6 +16,7 @@ visited at the start of the next cycle — exactly the reference's walk
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
@@ -471,8 +472,72 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
     return cycle
 
 
+class _Slot:
+    def __init__(self, idx):
+        self.idx = idx
+
+
+def _split_arrays(obj, out):
+    """Replace every array leaf in a (dict/list/tuple/dataclass) structure
+    with a slot marker, collecting the arrays. Mesh constants must travel
+    as jit ARGUMENTS, not closure constants: embedded constants bloat the
+    serialized HLO (this environment's remote compiler rejects large
+    bodies outright with HTTP 413) and slow every compile."""
+    if isinstance(obj, (jax.Array, np.ndarray)):
+        out.append(obj)
+        return _Slot(len(out) - 1)
+    if isinstance(obj, dict):
+        return {k: _split_arrays(v, out) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_split_arrays(v, out) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_split_arrays(v, out) for v in obj)
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type) \
+            and not callable(obj):
+        kw = {f.name: _split_arrays(getattr(obj, f.name), out)
+              for f in dataclasses.fields(obj)}
+        return (type(obj), kw)
+    return obj
+
+
+def _merge_arrays(tpl, arrays):
+    if isinstance(tpl, _Slot):
+        return arrays[tpl.idx]
+    if isinstance(tpl, dict):
+        return {k: _merge_arrays(v, arrays) for k, v in tpl.items()}
+    if isinstance(tpl, list):
+        return [_merge_arrays(v, arrays) for v in tpl]
+    if isinstance(tpl, tuple):
+        if len(tpl) == 2 and isinstance(tpl[0], type) \
+                and dataclasses.is_dataclass(tpl[0]):
+            cls, kw = tpl
+            return cls(**{k: _merge_arrays(v, arrays)
+                          for k, v in kw.items()})
+        return tuple(_merge_arrays(v, arrays) for v in tpl)
+    return tpl
+
+
+def _parametrised(dmesh: DeviceMesh, config: SolverConfig, build):
+    """Wrap `build(dmesh) -> fn(state)` so that every mesh array reaches
+    the jit as an argument. Returns fn(state) with arrays bound."""
+    arrays: list = []
+    tpl = _split_arrays(
+        {"levels": list(dmesh.levels), "ff_flux": dmesh.ff_flux,
+         "ff_q": dmesh.ff_q}, arrays)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state, arrs):
+        parts = _merge_arrays(tpl, arrs)
+        dm = DeviceMesh(levels=parts["levels"], variant=dmesh.variant,
+                        ff_flux=parts["ff_flux"], ff_q=parts["ff_q"])
+        return build(dm)(state)
+
+    return lambda state: run(state, arrays)
+
+
 def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
-    return jax.jit(_raw_cycle_fn(dmesh, config), donate_argnums=(0,))
+    return _parametrised(dmesh, config,
+                         lambda dm: _raw_cycle_fn(dm, config))
 
 
 def make_multi_cycle_fn(dmesh: DeviceMesh, config: SolverConfig,
@@ -480,17 +545,22 @@ def make_multi_cycle_fn(dmesh: DeviceMesh, config: SolverConfig,
     """K V-cycles per device dispatch via lax.scan: amortises the fixed
     per-execution overhead (substantial through a remote TPU tunnel) and
     compiles the cycle body once. Returns (state, rms[K], invalid[K])."""
-    raw = _raw_cycle_fn(dmesh, config)
+    def build(dm):
+        raw = _raw_cycle_fn(dm, config)
 
-    def multi(state):
-        def body(s, _):
-            s2, rms, invalid, _tok = raw(s)
-            return s2, (rms, invalid)
-        state, (rms, invalid) = jax.lax.scan(
-            body, state, None, length=cycles_per_dispatch)
-        return state, rms, invalid
+        def multi(state):
+            def body(s, _):
+                s2, rms, invalid, _tok = raw(s)
+                return s2, (rms, invalid)
+            return jax.lax.scan(body, state, None,
+                                length=cycles_per_dispatch)
 
-    return jax.jit(multi, donate_argnums=(0,))
+        def flat(state):
+            state, (rms, invalid) = multi(state)
+            return state, rms, invalid
+        return flat
+
+    return _parametrised(dmesh, config, build)
 
 
 class MGCFDSolver:
