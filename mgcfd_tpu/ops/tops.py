@@ -20,14 +20,20 @@ from ..core.constants import GAMMA, RK, SMOOTHING_COEFFICIENT
 
 
 def t_primitives(q):
-    """q: (5, ...) -> dict of (...) primitives."""
+    """q: (5, ...) -> dict of (...) primitives.
+
+    One reciprocal of rho feeds vel (3 components) and sos: TPUs have no
+    hardware divide (each fp division is a Newton-Raphson chain on the
+    VPU), so sharing 1/rho cuts four division chains to one per call in
+    the hottest code path. Differs from a literal mom/rho by <=1 ulp."""
     rho = q[0]
     mom = q[1:4]
     energy = q[4]
-    vel = mom / rho[None]
+    inv_rho = 1.0 / rho
+    vel = mom * inv_rho[None]
     speed_sqd = jnp.sum(vel * vel, axis=0)
     pressure = (GAMMA - 1.0) * (energy - 0.5 * rho * speed_sqd)
-    sos = jnp.sqrt(GAMMA * pressure / rho)
+    sos = jnp.sqrt(GAMMA * pressure * inv_rho)
     return {"rho": rho, "mom": mom, "vel": vel, "energy": energy,
             "speed_sqd": speed_sqd, "speed": jnp.sqrt(speed_sqd),
             "pressure": pressure, "sos": sos}
@@ -48,9 +54,13 @@ def t_flux_tensor(q, prim=None):
     return jnp.concatenate([density_row, mom_block, energy_row], axis=1)
 
 
-def t_internal_edge_flux(q_a, q_b, ew):
-    """q_a, q_b: (5, E); ew: (3, E) -> (5, E) value into a (negate for b)."""
-    ewt = jnp.sqrt(jnp.sum(ew * ew, axis=0))
+def t_internal_edge_flux(q_a, q_b, ew, ewt=None):
+    """q_a, q_b: (5, E); ew: (3, E) -> (5, E) value into a (negate for b).
+    ewt: optional precomputed |ew| (a mesh constant — passing it removes
+    a sqrt chain per edge per evaluation; FLUX_PRECOMPUTE_EDGE_WEIGHTS
+    semantics, euler3d:354-362)."""
+    if ewt is None:
+        ewt = jnp.sqrt(jnp.sum(ew * ew, axis=0))
     pa, pb = t_primitives(q_a), t_primitives(q_b)
     fa = t_flux_tensor(q_a, pa)
     fb = t_flux_tensor(q_b, pb)
@@ -87,21 +97,33 @@ def t_shift_flux(deltas, weights, variables, num_nodes):
 
 def t_shift_flux_rolled(deltas, wpad, variables):
     """Batched-roll variant of t_shift_flux: ONE flux-math evaluation over
-    all spans at once (lane-rolled q_b views, (D,3,N) zero-padded
-    weights), then a rolled subtraction for the b-sides. ~1.4x the
-    per-span slice version on TPU (single fused pass instead of D).
+    all spans at once (lane-rolled q_b views, padded weights), then a
+    rolled subtraction for the b-sides. ~1.4x the per-span slice version
+    on TPU (single fused pass instead of D).
 
     Correctness of the wrap-around lanes: padded weight rows are zero and
     every state in a live solve is physical, so wrapped edge values are
-    exactly zero (same argument as the Pallas kernel's pad lanes)."""
+    exactly zero (same argument as the Pallas kernel's pad lanes).
+
+    wpad: (D, 4, N) — rows 0:3 the zero-padded weights, row 3 the
+    precomputed |w| (zero on padding, so the wrap-zero argument holds);
+    a 3-row wpad still works (|w| recomputed on device).
+
+    Note: computing the a-side primitives/flux tensor once on N lanes
+    and broadcasting across spans was tried and is ~20% SLOWER on TPU —
+    the mixed (N)/(D*N) shapes break XLA's single uniform fused pass
+    (measured 344 vs 424M edges/s on the flagship level 0). Keep every
+    operand at (…, D*N)."""
     D = len(deltas)
     n = variables.shape[1]
     qb = jnp.stack([jnp.roll(variables, -d, axis=1) for d in deltas])
     qa = jnp.broadcast_to(variables, qb.shape)
+    ewt = (wpad[:, 3, :].reshape(D * n) if wpad.shape[1] == 4 else None)
     val = t_internal_edge_flux(
         qa.transpose(1, 0, 2).reshape(variables.shape[0], D * n),
         qb.transpose(1, 0, 2).reshape(variables.shape[0], D * n),
-        wpad.transpose(1, 0, 2).reshape(3, D * n),
+        wpad[:, :3, :].transpose(1, 0, 2).reshape(3, D * n),
+        ewt,
     ).reshape(variables.shape[0], D, n)
     flux = jnp.sum(val, axis=1)
     for i, d in enumerate(deltas):

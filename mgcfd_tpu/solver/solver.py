@@ -57,7 +57,7 @@ class DeviceLevel:
     prolong_tables: Optional[Any] = None   # dict, see build_prolong_tables
     prolong_shift_tables: Optional[Any] = None  # dict, span-dense prolong
     shift: Optional[Any] = None   # (deltas, [weights], (sa, sb, sw))
-    shift_wpad_t: Optional[Any] = None  # (D, 3, N) zero-padded weights
+    shift_wpad_t: Optional[Any] = None  # (D, 4, N) padded weights + |w|
     dense_bw_t: Optional[Any] = None  # (bd_normal, wall_normal, wall_const)
     pallas_flux: Optional[Any] = None  # PallasShiftFlux kernel
 
@@ -115,9 +115,12 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                       put(plan.spill_b, jnp.int32),
                       put(plan.spill_w)))
             if plan.deltas:
-                wpad = np.zeros((len(plan.deltas), 3, l.num_nodes))
+                # rows 0:3 zero-padded weights, row 3 precomputed |w|
+                # (host fp64, one sqrt chain per edge saved on device)
+                wpad = np.zeros((len(plan.deltas), 4, l.num_nodes))
                 for i, w in enumerate(plan.weights):
-                    wpad[i, :, :w.shape[0]] = w.T
+                    wpad[i, :3, :w.shape[0]] = w.T
+                    wpad[i, 3, :w.shape[0]] = np.sqrt((w ** 2).sum(axis=1))
                 shift_wpad_t = put(wpad)
             from ..ops.tops import build_dense_boundary_wall
             bdn, wln, wlc = build_dense_boundary_wall(
