@@ -167,13 +167,22 @@ def mg_restrict_structured(vars_fine, vars_coarse, fdims, cdims,
     cnx, cny, cnz = cdims
     nv = vars_fine.shape[-1]
     f = vars_fine.reshape(fnx, fny, fnz, nv)
+    zero = jnp.zeros((), vars_fine.dtype)
     sums = jnp.zeros((cnx, cny, cnz, nv), vars_fine.dtype)
     for i in (0, 1):
         for j in (0, 1):
             for k in (0, 1):
-                sl = f[i::2, j::2, k::2]
-                sums = sums.at[:sl.shape[0], :sl.shape[1],
-                               :sl.shape[2]].add(sl)
+                # lax.slice, NOT f[i::2, j::2, k::2]: multi-axis strided
+                # jnp indexing lowers to an HLO *gather* (~7 GB/s on TPU,
+                # profiled); lax.slice emits a true strided slice. The
+                # odd-dimension shortfall is lax.pad (fusable), not a
+                # scatter-add.
+                sl = jax.lax.slice(f, (i, j, k, 0), (fnx, fny, fnz, nv),
+                                   (2, 2, 2, 1))
+                sums = sums + jax.lax.pad(
+                    sl, zero, [(0, cnx - sl.shape[0], 0),
+                               (0, cny - sl.shape[1], 0),
+                               (0, cnz - sl.shape[2], 0), (0, 0, 0)])
     sums = sums.reshape(cnx * cny * cnz, nv)
     safe = jnp.where(mapped, counts, jnp.ones_like(counts))
     return jnp.where(mapped[:, None], sums / safe[:, None], vars_coarse)
@@ -189,6 +198,50 @@ def structured_upsample(res_coarse, fdims, cdims):
     up = jnp.repeat(jnp.repeat(jnp.repeat(c, 2, axis=0), 2, axis=1),
                     2, axis=2)
     return up[:fnx, :fny, :fnz].reshape(fnx * fny * fnz, nv)
+
+
+def t_mg_restrict_structured(vars_fine_t, vars_coarse_t, fdims, cdims,
+                             counts, mapped):
+    """Variable-major twin of mg_restrict_structured, on (5, N) state.
+
+    Under the whole-cycle transposed layout the node-major version costs
+    a fine-level transpose whose strided parity slices then lower to
+    ~7 GB/s index-gathers (profiled as 30% of device time on the
+    flagship cycle); operating on (5, N) directly keeps them as plain
+    strided slices. Same add order as the node-major twin."""
+    fnx, fny, fnz = fdims
+    cnx, cny, cnz = cdims
+    nv = vars_fine_t.shape[0]
+    f = vars_fine_t.reshape(nv, fnx, fny, fnz)
+    zero = jnp.zeros((), vars_fine_t.dtype)
+    sums = jnp.zeros((nv, cnx, cny, cnz), vars_fine_t.dtype)
+    for i in (0, 1):
+        for j in (0, 1):
+            for k in (0, 1):
+                # lax.slice + lax.pad, not strided indexing + scatter —
+                # see mg_restrict_structured
+                sl = jax.lax.slice(f, (0, i, j, k), (nv, fnx, fny, fnz),
+                                   (1, 2, 2, 2))
+                sums = sums + jax.lax.pad(
+                    sl, zero, [(0, 0, 0), (0, cnx - sl.shape[1], 0),
+                               (0, cny - sl.shape[2], 0),
+                               (0, cnz - sl.shape[3], 0)])
+    sums = sums.reshape(nv, cnx * cny * cnz)
+    safe = jnp.where(mapped, counts, jnp.ones_like(counts))
+    return jnp.where(mapped[None, :], sums / safe[None, :], vars_coarse_t)
+
+
+def t_structured_upsample(res_coarse, fdims, cdims):
+    """Variable-major twin of structured_upsample: node-major (Nc, 5)
+    coarse residuals -> (5, Nf). The transpose happens at COARSE size;
+    the fine-size G.T it replaces was a full-level relayout."""
+    fnx, fny, fnz = fdims
+    cnx, cny, cnz = cdims
+    nv = res_coarse.shape[-1]
+    c = res_coarse.T.reshape(nv, cnx, cny, cnz)
+    up = jnp.repeat(jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2),
+                    2, axis=3)
+    return up[:, :fnx, :fny, :fnz].reshape(nv, fnx * fny * fnz)
 
 
 # ---------------------------------------------------------------------------
@@ -329,12 +382,11 @@ def prolong_shift(res_coarse, res_fine, vars_fine, t, transposed=False):
     """Runtime of build_prolong_shift. When `transposed`, res_fine and
     vars_fine are (5, N) and the result is (5, N); res_coarse is always
     node-major (coarse levels are small)."""
-    if "structured" in t:
-        G = structured_upsample(res_coarse, *t["structured"])
-    else:
-        G = res_coarse[t["parent"]]             # (N, 5) — the ONE gather
     if transposed:
-        G = G.T
+        if "structured" in t:
+            G = t_structured_upsample(res_coarse, *t["structured"])
+        else:
+            G = res_coarse[t["parent"]].T       # the ONE gather, (5, N)
         n = vars_fine.shape[1]
         acc = jnp.zeros_like(vars_fine)
         wsum = jnp.zeros((n,), vars_fine.dtype)
@@ -351,6 +403,10 @@ def prolong_shift(res_coarse, res_fine, vars_fine, t, transposed=False):
         safe = jnp.where(wsum > 0, wsum, jnp.ones_like(wsum))
         wavg = jnp.where(t["coincident"][None, :], G, acc / safe[None])
         return vars_fine + (res_fine - wavg)
+    if "structured" in t:
+        G = structured_upsample(res_coarse, *t["structured"])
+    else:
+        G = res_coarse[t["parent"]]             # (N, 5) — the ONE gather
     n = vars_fine.shape[0]
     acc = jnp.zeros_like(vars_fine)
     wsum = jnp.zeros((n,), vars_fine.dtype)

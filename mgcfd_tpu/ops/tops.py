@@ -105,26 +105,28 @@ def t_shift_flux_rolled(deltas, wpad, variables):
     every state in a live solve is physical, so wrapped edge values are
     exactly zero (same argument as the Pallas kernel's pad lanes).
 
-    wpad: (D, 4, N) — rows 0:3 the zero-padded weights, row 3 the
-    precomputed |w| (zero on padding, so the wrap-zero argument holds);
-    a 3-row wpad still works (|w| recomputed on device).
+    wpad: preferred form (3|4, D*N) span-major — rows 0:3 the
+    zero-padded weights, row 3 the precomputed |w| (zero on padding, so
+    the wrap-zero argument holds). A legacy (D, 3|4, N) form is
+    reformatted in-kernel.
 
     Note: computing the a-side primitives/flux tensor once on N lanes
     and broadcasting across spans was tried and is ~20% SLOWER on TPU —
     the mixed (N)/(D*N) shapes break XLA's single uniform fused pass
     (measured 344 vs 424M edges/s on the flagship level 0). Keep every
-    operand at (…, D*N)."""
+    operand at (…, D*N). The operands are built by lane-concatenation
+    (not stack+transpose+reshape, which materialises a (D,5,N)->(5,D,N)
+    relayout — profiled as a top broadcast cost)."""
     D = len(deltas)
-    n = variables.shape[1]
-    qb = jnp.stack([jnp.roll(variables, -d, axis=1) for d in deltas])
-    qa = jnp.broadcast_to(variables, qb.shape)
-    ewt = (wpad[:, 3, :].reshape(D * n) if wpad.shape[1] == 4 else None)
-    val = t_internal_edge_flux(
-        qa.transpose(1, 0, 2).reshape(variables.shape[0], D * n),
-        qb.transpose(1, 0, 2).reshape(variables.shape[0], D * n),
-        wpad[:, :3, :].transpose(1, 0, 2).reshape(3, D * n),
-        ewt,
-    ).reshape(variables.shape[0], D, n)
+    V, n = variables.shape
+    if wpad.ndim == 3:
+        wpad = wpad.transpose(1, 0, 2).reshape(wpad.shape[1], D * n)
+    ew = wpad[:3]
+    ewt = wpad[3] if wpad.shape[0] == 4 else None
+    qa = jnp.concatenate([variables] * D, axis=1)
+    qb = jnp.concatenate([jnp.roll(variables, -d, axis=1)
+                          for d in deltas], axis=1)
+    val = t_internal_edge_flux(qa, qb, ew, ewt).reshape(V, D, n)
     flux = jnp.sum(val, axis=1)
     for i, d in enumerate(deltas):
         flux = flux - jnp.roll(val[:, i, :], d, axis=1)

@@ -57,7 +57,7 @@ class DeviceLevel:
     prolong_tables: Optional[Any] = None   # dict, see build_prolong_tables
     prolong_shift_tables: Optional[Any] = None  # dict, span-dense prolong
     shift: Optional[Any] = None   # (deltas, [weights], (sa, sb, sw))
-    shift_wpad_t: Optional[Any] = None  # (D, 4, N) padded weights + |w|
+    shift_wpad_t: Optional[Any] = None  # (4, D*N) padded weights + |w|
     dense_bw_t: Optional[Any] = None  # (bd_normal, wall_normal, wall_const)
     pallas_flux: Optional[Any] = None  # PallasShiftFlux kernel
 
@@ -116,12 +116,15 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                       put(plan.spill_w)))
             if plan.deltas:
                 # rows 0:3 zero-padded weights, row 3 precomputed |w|
-                # (host fp64, one sqrt chain per edge saved on device)
+                # (host fp64, one sqrt chain per edge saved on device);
+                # stored span-major (4, D*N) — the rolled kernel's
+                # native operand layout
                 wpad = np.zeros((len(plan.deltas), 4, l.num_nodes))
                 for i, w in enumerate(plan.weights):
                     wpad[i, :3, :w.shape[0]] = w.T
                     wpad[i, 3, :w.shape[0]] = np.sqrt((w ** 2).sum(axis=1))
-                shift_wpad_t = put(wpad)
+                shift_wpad_t = put(wpad.transpose(1, 0, 2).reshape(
+                    4, len(plan.deltas) * l.num_nodes))
             from ..ops.tops import build_dense_boundary_wall
             bdn, wln, wlc = build_dense_boundary_wall(
                 l.num_nodes, l.bedge_b, l.bedge_w, l.wedge_b, l.wedge_w,
@@ -426,11 +429,19 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
             rs = dmesh.levels[l].restrict_structured
             rt = dmesh.levels[l].restrict_tables
             if rs is not None:
-                from ..ops.mg import mg_restrict_structured
                 fdims, cdims, counts, mapped = rs
-                variables[l + 1] = st(mg_restrict_structured(
-                    nm(variables[l]), nm(variables[l + 1]), fdims, cdims,
-                    counts, mapped))
+                if tstate:
+                    # variable-major parity slices; the node-major twin
+                    # under a transposed cycle lowers to slow gathers
+                    from ..ops.mg import t_mg_restrict_structured
+                    variables[l + 1] = t_mg_restrict_structured(
+                        variables[l], variables[l + 1], fdims, cdims,
+                        counts, mapped)
+                else:
+                    from ..ops.mg import mg_restrict_structured
+                    variables[l + 1] = st(mg_restrict_structured(
+                        nm(variables[l]), nm(variables[l + 1]), fdims,
+                        cdims, counts, mapped))
             elif rt is not None:
                 from ..ops.mg import mg_restrict_gather
                 variables[l + 1] = st(mg_restrict_gather(
