@@ -195,8 +195,11 @@ def structured_upsample(res_coarse, fdims, cdims):
     cnx, cny, cnz = cdims
     nv = res_coarse.shape[-1]
     c = res_coarse.reshape(cnx, cny, cnz, nv)
-    up = jnp.repeat(jnp.repeat(jnp.repeat(c, 2, axis=0), 2, axis=1),
-                    2, axis=2)
+    # ONE broadcast inserting all three size-2 dims (three chained
+    # jnp.repeats materialise 2x/4x/8x intermediates — 14x traffic)
+    up = jnp.broadcast_to(c[:, None, :, None, :, None, :],
+                          (cnx, 2, cny, 2, cnz, 2, nv)
+                          ).reshape(2 * cnx, 2 * cny, 2 * cnz, nv)
     return up[:fnx, :fny, :fnz].reshape(fnx * fny * fnz, nv)
 
 
@@ -239,8 +242,10 @@ def t_structured_upsample(res_coarse, fdims, cdims):
     cnx, cny, cnz = cdims
     nv = res_coarse.shape[-1]
     c = res_coarse.T.reshape(nv, cnx, cny, cnz)
-    up = jnp.repeat(jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2),
-                    2, axis=3)
+    # single broadcast, as in structured_upsample
+    up = jnp.broadcast_to(c[:, :, None, :, None, :, None],
+                          (nv, cnx, 2, cny, 2, cnz, 2)
+                          ).reshape(nv, 2 * cnx, 2 * cny, 2 * cnz)
     return up[:, :fnx, :fny, :fnz].reshape(nv, fnx * fny * fnz)
 
 
