@@ -66,6 +66,9 @@ def t_internal_edge_flux(q_a, q_b, ew, ewt=None):
     fb = t_flux_tensor(q_b, pb)
     factor = (-ewt * (SMOOTHING_COEFFICIENT * 0.5)
               * (pa["speed"] + pb["speed"] + pa["sos"] + pb["sos"]))
+    # keep the einsum: measured 816 GB/s as a dot_general; unrolling it
+    # into muls/adds bloats the surrounding fusion and costs ~17% flux
+    # throughput (447 -> 377M edges/s on the flagship)
     central = jnp.einsum("de,dve->ve", ew, fa + fb)
     return factor[None] * (q_a - q_b) - 0.5 * central
 
