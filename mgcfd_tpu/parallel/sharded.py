@@ -426,8 +426,11 @@ def dryrun(n_devices: int) -> None:
     mgmesh = flagship_mesh(spec)
     cfg = SolverConfig(dtype="float32", num_partitions=n_devices,
                        include_indirect_rw=False)
-    solver = ShardedSolver(mgmesh, cfg, devices=devices[:n_devices])
-    solver.run(cycles=1)
+    # Commit every array this block creates to the CPU backend even when the
+    # process default platform is a real accelerator (axon site hook).
+    with jax.default_device(devices[0]):
+        solver = ShardedSolver(mgmesh, cfg, devices=devices[:n_devices])
+        solver.run(cycles=1)
     assert np.isfinite(solver.rms_history[-1])
     print(f"dryrun_multichip({n_devices}): ok, "
           f"rms={solver.rms_history[-1]:.3e}")
