@@ -129,7 +129,7 @@ def main():
     # best wins.
     cycle_times = {}
     cycles = 10
-    for mode in ("shift_t", "shift"):
+    for mode in ("pallas", "shift_t", "shift"):
         solver = solvers.get(mode)
         if solver is None:
             continue

@@ -11,13 +11,14 @@ def residual(old_variables, variables):
     return variables - old_variables
 
 
-def calc_rms(residuals):
+def calc_rms(residuals, num_nodes: int | None = None):
     """sqrt(sum(r^2) / nel) — note the reference divides by the NODE count,
     not nel*NVAR (validation.cpp:91-105). Layout-agnostic: accepts (N,5)
-    or (5,N)."""
+    or (5,N). Pass `num_nodes` when the array is lane-padded (the tail
+    residuals are exactly zero, but the divisor must be the real count)."""
     from ..core.constants import NVAR
 
-    nel = residuals.size // NVAR
+    nel = num_nodes if num_nodes is not None else residuals.size // NVAR
     return jnp.sqrt(jnp.sum(residuals * residuals) / nel)
 
 

@@ -4,23 +4,45 @@ The XLA shift path (prep/shift.py) evaluates one span at a time, and each
 span's pass streams the state and a flux array through HBM. This kernel
 fuses ALL spans into one pass over node blocks:
 
-  - layout: variable-major (8, N) — 5 conserved variables padded to 8
-    sublane rows, nodes in lanes (full 128-lane utilisation);
+  - layout: variable-major (5, N) — nodes in lanes (full 128-lane
+    utilisation), conserved variables in sublanes;
   - grid over node blocks of BN lanes; per block the kernel sees a halo'd
     window of the state (previous/current/next block views, BN >= max
     span), so every span's q_a/q_b/weight access is a STATIC lane slice;
-  - per-span edge values are computed on (8, BN + span) windows and
-    accumulated into a VMEM scratch accumulator (+val at the a-side lane,
-    -val shifted by the span for the b-side); the flux block is written
-    to HBM exactly once.
+  - boundary halos use CLAMPED index maps (prev = max(i-1, 0),
+    next = min(i+1, k-1)) instead of physical pad blocks: the duplicated
+    edge blocks hold physical state, and every lane a clamped window can
+    contribute through carries a zero weight (edges off the ends of the
+    node range do not exist), so the contribution vanishes exactly. This
+    removes the per-call cost of materialising a (k+2)-block padded copy
+    of the state — measured at ~0.7 ms/call on the v5e, 30x the kernel
+    itself — leaving only a small tail concat (N -> k*BN lanes);
+  - per-span edge values are computed on lane-ALIGNED windows of length
+    BN + ceil128(span) starting at the aligned lane BN - ceil128(span),
+    with the b-side state produced by a lane rotate (pltpu.roll) instead
+    of an offset slice; accumulation into the output block is again a
+    pair of aligned slices (one of them of a rotated value array).
 
-Per-block redundant compute is (1 + span/BN) <= 2x per span — traded for
-never materialising per-span value arrays or re-reading the flux array
-from HBM (the XLA path's 2 x D extra N-sized streams).
+Per-block redundant compute is (1 + ceil128(span)/BN) <= 2x per span —
+traded for never materialising per-span value arrays or re-reading the
+flux array from HBM (the XLA path's 2 x D extra N-sized streams).
+
+Mosaic constraint that shaped this design (measured on the v5e): vector
+concatenates require uniform lane offsets across operands, and slices at
+non-128-multiple lane starts carry their offset into downstream ops, so
+an earlier version that stacked rows of odd-offset (1, BN+span) vectors
+failed lowering ("result/input offset mismatch on non-concat
+dimension"). Everything below keeps slice starts and lengths at lane
+multiples and uses rolls for the +-span shifts, so every intermediate is
+an offset-0, aligned vector.
 
 The span list is static (mesh preprocessing), so everything in the kernel
-body unrolls to static slices: no gathers, no scatters, no dynamic
-indexing anywhere.
+body unrolls to static slices and rotates: no gathers, no scatters, no
+dynamic indexing anywhere.
+
+Reference analogue: the internal-edge flux loop, the benchmark's raison
+d'etre (/root/reference/src/Kernels/flux_loops.cpp:78-153 and
+flux_kernel.elemfunc.c:18-229).
 """
 from __future__ import annotations
 
@@ -32,11 +54,11 @@ import numpy as np
 
 from ..core.constants import GAMMA, SMOOTHING_COEFFICIENT
 
-ROWS = 8  # 5 conserved variables padded to a full sublane tile
+VARS = 5  # density, momentum x/y/z, density-energy
 
 
 def _edge_val(qa, qb, ew):
-    """Per-edge flux value, variable-major on (ROWS, L) windows; rows
+    """Per-edge flux value, variable-major on (VARS, L) windows; rows
     0..4 = density, momentum x/y/z, density-energy (same math as
     ops.tops.t_internal_edge_flux, open-coded for the kernel)."""
     def prims(q):
@@ -83,29 +105,63 @@ def _edge_val(qa, qb, ew):
                    + fy * (ta[v][1] + tb[v][1])
                    + fz * (ta[v][2] + tb[v][2]))
         rows.append(factor * (qa[v] - qb[v]) + central)
-    rows.append(jnp.zeros_like(rows[0]))
-    rows.append(jnp.zeros_like(rows[0]))
-    rows.append(jnp.zeros_like(rows[0]))
+    # all rows derive from the same offset-0 aligned windows, so the
+    # stack's operands share a layout (Mosaic rejects mixed offsets)
     return jnp.stack(rows, axis=0)
 
 
-def _kernel(deltas, bn, q_prev, q_cur, q_next, w_prev, w_cur, out_ref):
-    """Window lane c <-> padded-node lane k*BN + c (k = grid index =
-    previous padded block); the current output block is window lanes
-    [bn, 2bn). All slice starts/lengths below are Python constants."""
+def _lane_roll(x, shift, interpret):
+    """Static lane rotate along the last axis. Compiled mode uses the
+    native Mosaic rotate; interpret mode falls back to jnp.roll."""
+    if interpret:
+        return jnp.roll(x, shift, axis=-1)
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
+
+
+def _ceil128(d: int) -> int:
+    return -(-d // 128) * 128
+
+
+def _kernel(deltas, bn, num_nodes, interpret, q_prev, q_cur, q_next,
+            w_prev, w_cur, out_ref):
+    """Window lane c <-> node (i-1)*BN + c for grid step i (clamped at
+    the boundary blocks, where off-range lanes are zero-weighted); the
+    current output block is window lanes [bn, 2bn). All slice starts /
+    lengths below are Python constants at lane multiples; span shifts
+    are lane rotates."""
+    from jax.experimental import pallas as pl
+
     h = bn
     win = jnp.concatenate([q_prev[:], q_cur[:], q_next[:]], axis=1)
+    # lanes outside the real node range [0, num_nodes) are substituted
+    # with quiescent gas: their weights are zero, but the caller's tail
+    # pad (and the clamped boundary windows) may hold arbitrary values,
+    # and a NaN from sqrt(negative pressure) would poison factor * 0
+    node = (jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+            + (pl.program_id(0) - 1) * bn)
+    row = jax.lax.broadcasted_iota(jnp.int32, win.shape, 0)
+    quies = jnp.where((row == 0) | (row == 4), 1.0, 0.0).astype(win.dtype)
+    win = jnp.where((node >= 0) & (node < num_nodes), win, quies)
     wwin = jnp.concatenate([w_prev[:], w_cur[:]], axis=2)  # (D,4,2BN)
     acc = jnp.zeros_like(out_ref)
     for di, d in enumerate(deltas):
-        # per-span edge values for a-side lanes [h-d, h+bn): length bn+d
-        qa = win[:, h - d: h + bn]
-        qb = win[:, h: h + bn + d]
-        ew = wwin[di, :3, bn - d: 2 * bn]
+        # edges whose a-side sits at window lane p need q[p], q[p+d],
+        # w[p]; evaluate for p in the aligned range [s, s+L) which covers
+        # the needed [h-d, h+bn)
+        pad = _ceil128(d)
+        s = h - pad
+        L = bn + pad
+        qa = win[:, s: s + L]
+        qb = _lane_roll(win, -d, interpret)[:, s: s + L]  # win[p + d]
+        ew = wwin[di, :3, s: s + L]
         val = _edge_val(qa, qb, ew)
-        # a-side: +val into lane p=a  -> val index p-h+d in [d, bn+d)
-        # b-side: -val[p-d] for lane p -> val index p-h  in [0, bn)
-        acc = acc + val[:, d: bn + d] - val[:, 0: bn]
+        # a-side: +val at out lane p-h -> val index (p-s) = pad + (p-h)
+        # b-side: -val[p-d-s] at out lane p-h -> rotate val by d, then
+        #         the same aligned [pad, pad+bn) slice (no wrap: indices
+        #         stay >= pad - d >= 0)
+        acc = (acc + val[:, pad: pad + bn]
+               - _lane_roll(val, d, interpret)[:, pad: pad + bn])
     out_ref[...] = acc
 
 
@@ -117,21 +173,29 @@ def pallas_shift_available() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("deltas", "bn", "interpret"))
-def _call(q_pad, w_pad, deltas, bn, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("deltas", "bn", "num_nodes",
+                                    "interpret"))
+def _call(q_pad, w_pad, deltas, bn, num_nodes, interpret):
     from jax.experimental import pallas as pl
 
     rows, total = q_pad.shape
-    k = total // bn - 2  # number of real blocks (one pad block each side)
+    k = total // bn  # q_pad carries no halo blocks; clamped maps instead
     d_count = w_pad.shape[0]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, deltas, bn),
+        functools.partial(_kernel, deltas, bn, num_nodes, interpret),
         grid=(k,),
         in_specs=[
-            pl.BlockSpec((rows, bn), lambda i: (0, i)),      # prev
-            pl.BlockSpec((rows, bn), lambda i: (0, i + 1)),  # cur
-            pl.BlockSpec((rows, bn), lambda i: (0, i + 2)),  # next
+            # clamped halo: boundary blocks re-read the edge block; all
+            # lanes they could contribute through are zero-weighted
+            pl.BlockSpec((rows, bn),
+                         lambda i: (0, jnp.maximum(i - 1, 0))),
+            pl.BlockSpec((rows, bn), lambda i: (0, i)),
+            pl.BlockSpec((rows, bn),
+                         lambda i: (0, jnp.minimum(i + 1, k - 1))),
+            # weights DO carry one zero pad block on each side, built
+            # once at init: w lane (i*bn + p) pairs with window lane p
             pl.BlockSpec((d_count, 4, bn), lambda i: (0, 0, i)),
             pl.BlockSpec((d_count, 4, bn), lambda i: (0, 0, i + 1)),
         ],
@@ -161,31 +225,43 @@ class PallasShiftFlux:
         k = -(-num_nodes // bn)
         self.padded = k * bn
         self.interpret = interpret
-        # weights: (D, 4, padded + 2*bn) with one pad block each side,
-        # rows 0..2 = normal components, row 3 spare (sublane padding)
+        # weights: (D, 4, padded + 2*bn) with one zero block each side
+        # (w lane bn + node; the zero blocks are what make the clamped
+        # state windows contribute nothing at the boundaries), rows
+        # 0..2 = normal components, row 3 spare (sublane padding)
         D = max(1, len(self.deltas))
         w = np.zeros((D, 4, self.padded + 2 * bn), dtype=dtype)
         for di, (d, wd) in enumerate(zip(self.deltas, weights)):
             w[di, :3, bn:bn + wd.shape[0]] = np.asarray(wd).T
         self.w_pad = jnp.asarray(w)
+        # tail pad lanes [N, padded) must hold a PHYSICAL state: their
+        # weights are zero, but NaNs from sqrt(negative pressure) would
+        # still poison factor * 0. Quiescent gas (rho=1, v=0, E=1).
+        self._pad_state = jnp.array([1, 0, 0, 0, 1], dtype)[:, None]
 
     def __call__(self, q_t):
-        """q_t: (5, N) -> (5, N) internal-edge flux accumulation."""
-        rows = jnp.zeros((ROWS - q_t.shape[0], q_t.shape[1]), q_t.dtype)
-        q = jnp.concatenate([q_t, rows], axis=0)
-        # Node padding lanes must hold a PHYSICAL state: their weights are
-        # zero, but NaNs from sqrt(negative pressure) would still poison
-        # factor * 0. Quiescent gas (rho=1, v=0, E=1) is safe.
-        pad_state = jnp.array([1, 0, 0, 0, 1, 0, 0, 0],
-                              q_t.dtype)[:, None]
-        pad_total = self.padded + 2 * self.bn - self.num_nodes
-        left = jnp.broadcast_to(pad_state, (ROWS, self.bn))
-        right = jnp.broadcast_to(pad_state,
-                                 (ROWS, pad_total - self.bn))
-        q_pad = jnp.concatenate([left, q, right], axis=1)
+        """q_t: (5, padded) lane-padded state -> (5, padded) internal-edge
+        flux (tail lanes exactly zero). Also accepts the unpadded (5, N)
+        layout and returns (5, N) — but that path materialises a
+        standalone pad + slice per call (~25x a fused copy on the v5e;
+        concat/pad as an XLA fusion ROOT does not stream) and exists for
+        standalone/benchmark use. The solver carries the state
+        lane-padded so the kernel operand needs no per-call construction
+        (solver/solver.py num_lanes)."""
+        n_in = q_t.shape[1]
+        if n_in == self.padded:
+            return _call(q_t, self.w_pad, self.deltas, self.bn,
+                         self.num_nodes, self.interpret)
+        tail = self.padded - self.num_nodes
+        if tail:
+            filler = jnp.broadcast_to(
+                self._pad_state.astype(q_t.dtype), (VARS, tail))
+            q_pad = jnp.concatenate([q_t, filler], axis=1)
+        else:
+            q_pad = q_t
         out = _call(q_pad, self.w_pad, self.deltas, self.bn,
-                    self.interpret)
-        return out[:q_t.shape[0], :self.num_nodes]
+                    self.num_nodes, self.interpret)
+        return out[:, :self.num_nodes]
 
 
 def pallas_shift_flux(plan, num_nodes, dtype=jnp.float32,

@@ -50,6 +50,11 @@ class DeviceLevel:
     wedge_w: Any
     mg_mapping: Optional[Any]
     num_nodes: int
+    num_lanes: int = 0            # lane-padded state width (>= num_nodes)
+    # when the pallas megakernel runs this level: its operand must be
+    # block-divisible and XLA materialises a standalone pad at ~1/25th
+    # of copy speed, so the transposed state itself carries the padding
+    # (tail lanes hold far-field gas and never change). 0 = num_nodes.
     ell: Optional[Any] = None     # IncidenceTables with device arrays
     restrict_tables: Optional[Any] = None  # (children, mask, mapped)
     restrict_structured: Optional[Any] = None  # (fdims, cdims, counts,
@@ -129,17 +134,32 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
             bdn, wln, wlc = build_dense_boundary_wall(
                 l.num_nodes, l.bedge_b, l.bedge_w, l.wedge_b, l.wedge_w,
                 far_field_state(np.float64)[1])
-            dense_bw_t = (put(bdn), put(wln), put(wlc))
             if config.accumulate == "pallas":
                 from ..pallas.flux_shift import pallas_shift_flux
                 interp = jax.default_backend() == "cpu"
                 pallas_flux = pallas_shift_flux(plan, l.num_nodes,
                                                 dtype=dtype,
                                                 interpret=interp)
+            dense_bw_t = (put(bdn), put(wln), put(wlc))
+        num_lanes = l.num_nodes
+        vol_host = l.volumes
+        if pallas_flux is not None and pallas_flux.padded != l.num_nodes:
+            # lane-padded state (see DeviceLevel.num_lanes): tail volumes
+            # are huge so the tail's local dt never wins the global min
+            # (cfd_loops.cpp:137-150 analogue); tail aggregate normals
+            # are zero so the dense boundary/wall flux vanishes there
+            num_lanes = pallas_flux.padded
+            tail = num_lanes - l.num_nodes
+            vol_host = np.concatenate([l.volumes, np.full(tail, 1e30)])
+            bdn, wln, wlc = (np.concatenate(
+                [a, np.zeros((a.shape[0], tail))], axis=1)
+                for a in (bdn, wln, wlc))
+            dense_bw_t = (put(bdn), put(wln), put(wlc))
         dlevels.append(DeviceLevel(
             ell=ell, shift=shift, shift_wpad_t=shift_wpad_t,
             dense_bw_t=dense_bw_t, pallas_flux=pallas_flux,
-            volumes=put(l.volumes),
+            num_lanes=num_lanes,
+            volumes=put(vol_host),
             coords=None if l.coords is None else put(l.coords),
             edge_a=put(l.edge_a, jnp.int32),
             edge_b=put(l.edge_b, jnp.int32),
@@ -313,6 +333,11 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
     from ..ops import tops
 
     q = variables if io_transposed else variables.T
+    nl = lvl.num_lanes or lvl.num_nodes  # lane-padded state width
+    if not io_transposed and q.shape[1] != nl and lvl.pallas_flux is not None:
+        # standalone transposed visit on unpadded node-major input:
+        # let the pallas wrapper's legacy pad path handle it
+        nl = q.shape[1]
     old = q
     prim = tops.t_primitives(q)
     if legacy_step:
@@ -339,7 +364,7 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
             val = tops.t_internal_edge_flux(q[:, sa], q[:, sb], sw.T)
             flux = flux + tops.t_segment_accumulate(
                 jnp.concatenate([val, -val], axis=1),
-                jnp.concatenate([sa, sb]), lvl.num_nodes)
+                jnp.concatenate([sa, sb]), nl)
         if lvl.dense_bw_t is not None:
             bdn, wln, wlc = lvl.dense_bw_t
             flux = flux + tops.t_dense_boundary_wall_flux(q, bdn, wln,
@@ -353,7 +378,7 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
             flux = flux + tops.t_segment_accumulate(
                 jnp.concatenate([val_bd, val_w], axis=1),
                 jnp.concatenate([lvl.bedge_b, lvl.wedge_b]),
-                lvl.num_nodes)
+                nl)
 
         q = tops.t_time_step(j, sf, flux, old)
         bad = ~jnp.isfinite(q)
@@ -402,6 +427,27 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
         """state-layout view of a node-major array."""
         return x_nm.T if tstate else x_nm
 
+    def real(x, lvl):
+        """Slice a (possibly lane-padded) state array to the real node
+        count. Fuses into the consumer's reads — no copy."""
+        n = lvl.num_nodes
+        if tstate:
+            return x if x.shape[1] == n else x[:, :n]
+        return x
+
+    def writeback(full, new_real, old_real):
+        """Install an update computed on the real-width view into the
+        (possibly lane-padded) state array. The pad sits under an add
+        root, so it fuses (a pad/concat as fusion ROOT materialises at
+        ~1/25th of copy speed on the v5e); the tail gets += 0 and keeps
+        its far-field gas."""
+        if not tstate or full.shape[1] == new_real.shape[1]:
+            return new_real
+        d = full.shape[1] - new_real.shape[1]
+        zero = jnp.zeros((), full.dtype)
+        return full + jax.lax.pad(new_real - old_real, zero,
+                                  ((0, 0, 0), (0, d, 0)))
+
     def cycle(state):
         variables = list(state["variables"])
         residuals = list(state["residuals"])
@@ -424,59 +470,67 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
         for l in range(L - 1):
             res = do_visit(l)
             if l == 0:
-                rms = calc_rms(res)  # layout-agnostic (sum of squares)
+                # layout-agnostic (sum of squares); explicit node count
+                # because the state may be lane-padded (tail res == 0)
+                rms = calc_rms(res, dmesh.levels[0].num_nodes)
             # restrict variables l -> l+1 (euler3d:547-552)
             rs = dmesh.levels[l].restrict_structured
             rt = dmesh.levels[l].restrict_tables
+            fine_r = real(variables[l], dmesh.levels[l])
+            coarse_r = real(variables[l + 1], dmesh.levels[l + 1])
             if rs is not None:
                 fdims, cdims, counts, mapped = rs
                 if tstate:
                     # variable-major parity slices; the node-major twin
                     # under a transposed cycle lowers to slow gathers
                     from ..ops.mg import t_mg_restrict_structured
-                    variables[l + 1] = t_mg_restrict_structured(
-                        variables[l], variables[l + 1], fdims, cdims,
-                        counts, mapped)
+                    new_c = t_mg_restrict_structured(
+                        fine_r, coarse_r, fdims, cdims, counts, mapped)
                 else:
                     from ..ops.mg import mg_restrict_structured
-                    variables[l + 1] = st(mg_restrict_structured(
-                        nm(variables[l]), nm(variables[l + 1]), fdims,
+                    new_c = st(mg_restrict_structured(
+                        nm(fine_r), nm(coarse_r), fdims,
                         cdims, counts, mapped))
             elif rt is not None:
                 from ..ops.mg import mg_restrict_gather
-                variables[l + 1] = st(mg_restrict_gather(
-                    nm(variables[l]), nm(variables[l + 1]), *rt))
+                new_c = st(mg_restrict_gather(
+                    nm(fine_r), nm(coarse_r), *rt))
             else:
-                variables[l + 1] = st(mg_restrict(
-                    nm(variables[l]), nm(variables[l + 1]),
+                new_c = st(mg_restrict(
+                    nm(fine_r), nm(coarse_r),
                     dmesh.levels[l].mg_mapping,
                     dmesh.levels[l + 1].num_nodes))
+            variables[l + 1] = writeback(variables[l + 1], new_c,
+                                         coarse_r)
 
         # --- top level ---
         res = do_visit(L - 1)
         if L == 1:
-            rms = calc_rms(res)
+            rms = calc_rms(res, dmesh.levels[0].num_nodes)
 
         # --- down sweep ---
         for l in range(L - 2, -1, -1):
             fine = dmesh.levels[l]
             coarse = dmesh.levels[l + 1]
+            res_c = real(residuals[l + 1], coarse)
+            res_f = real(residuals[l], fine)
+            vars_f = real(variables[l], fine)
             if fine.prolong_shift_tables is not None:
                 from ..ops.mg import prolong_shift
-                variables[l] = prolong_shift(
-                    nm(residuals[l + 1]), residuals[l], variables[l],
+                new_f = prolong_shift(
+                    nm(res_c), res_f, vars_f,
                     fine.prolong_shift_tables, transposed=tstate)
             elif fine.prolong_tables is not None:
                 from ..ops.mg import prolong_gather
-                variables[l] = st(prolong_gather(
-                    nm(residuals[l + 1]), nm(residuals[l]),
-                    nm(variables[l]), fine.prolong_tables))
+                new_f = st(prolong_gather(
+                    nm(res_c), nm(res_f), nm(vars_f),
+                    fine.prolong_tables))
             else:
-                variables[l] = st(prolong_residuals_interpolate(
-                    nm(residuals[l + 1]), nm(residuals[l]),
-                    nm(variables[l]),
+                new_f = st(prolong_residuals_interpolate(
+                    nm(res_c), nm(res_f), nm(vars_f),
                     fine.mg_mapping, coarse.coords, fine.coords,
                     fine.edge_a, fine.edge_b))
+            variables[l] = writeback(variables[l], new_f, vars_f)
             if l > 0:
                 do_visit(l)
 
@@ -593,12 +647,18 @@ class MGCFDSolver:
         self._tstate = state_is_transposed(self.dmesh, self.config)
 
         def init_vars(l):
-            v = jnp.tile(ff_q[None, :], (l.num_nodes, 1))
+            # lane-padded levels initialise the tail with the same
+            # far-field gas: physical (finite primitives), zero-weighted
+            # in every kernel, so it never changes
+            n = (l.num_lanes or l.num_nodes) if self._tstate \
+                else l.num_nodes
+            v = jnp.tile(ff_q[None, :], (n, 1))
             return v.T if self._tstate else v
 
         def init_res(l):
-            shape = ((NVAR, l.num_nodes) if self._tstate
-                     else (l.num_nodes, NVAR))
+            n = (l.num_lanes or l.num_nodes) if self._tstate \
+                else l.num_nodes
+            shape = (NVAR, n) if self._tstate else (n, NVAR)
             return jnp.zeros(shape, self.dtype)
 
         self.state = {
@@ -618,13 +678,38 @@ class MGCFDSolver:
                 # checkpoints are stored node-major regardless of the
                 # in-memory layout
                 if self._tstate:
-                    st = {k: [a.T for a in v] for k, v in st.items()}
+                    st = self._pad_state_layout(st)
                 self.state = st
 
     def _state_node_major(self):
+        """Node-major (N, 5) view with lane padding stripped (checkpoints
+        and dumps are always real-width node-major)."""
         if not self._tstate:
             return self.state
-        return {k: [a.T for a in v] for k, v in self.state.items()}
+        ns = [l.num_nodes for l in self.dmesh.levels]
+        return {k: [a[:, :n].T for a, n in zip(v, ns)]
+                for k, v in self.state.items()}
+
+    def _pad_state_layout(self, st):
+        """Inverse of _state_node_major: transpose to (5, N) and restore
+        the lane padding (far-field tail for variables, zero residuals)."""
+        ff = np.asarray(far_field_state(np.float64)[0])
+        out = {}
+        for k, arrs in st.items():
+            res = []
+            for a, l in zip(arrs, self.dmesh.levels):
+                t = np.asarray(a).T
+                n_lanes = l.num_lanes or l.num_nodes
+                if n_lanes != t.shape[1]:
+                    tail = n_lanes - t.shape[1]
+                    if k == "variables":
+                        filler = np.tile(ff[:, None], (1, tail))
+                    else:
+                        filler = np.zeros((t.shape[0], tail))
+                    t = np.concatenate([t, filler], axis=1)
+                res.append(jnp.asarray(t, self.dtype))
+            out[k] = res
+        return out
 
     def run(self, cycles: int | None = None, verbose: bool = False):
         """Run `cycles` more V-cycles (checkpoint cadence per config)."""
@@ -685,13 +770,16 @@ class MGCFDSolver:
 
     def variables(self, level: int = 0) -> np.ndarray:
         v = self.state["variables"][level]
-        return np.asarray(v.T if self._tstate else v)
+        n = self.dmesh.levels[level].num_nodes
+        return np.asarray(v[:, :n].T if self._tstate else v)
 
     def step_factors(self, level: int = 0) -> np.ndarray:
         lvl = self.dmesh.levels[level]
         v = self.state["variables"][level]
+        n = lvl.num_nodes
         if self._tstate:
-            v = v.T
+            v = v[:, :n].T
+        vol = lvl.volumes[:n]
         if self.dmesh.variant.uses_legacy_step_factor:
-            return np.asarray(compute_step_factor_legacy(v, lvl.volumes))
-        return np.asarray(compute_step_factor(v, lvl.volumes))
+            return np.asarray(compute_step_factor_legacy(v, vol))
+        return np.asarray(compute_step_factor(v, vol))
