@@ -236,6 +236,17 @@ def main(argv=None) -> int:
     # --- validation (euler3d_cpu_double.cpp:704-744) ---
     if cfg.validate_result:
         print("Beginning validation of variables[]")
+        # per-level NaN/Inf/negative scan first (euler3d:704-710 runs
+        # check_for_invalid_variables on EVERY level at -v time)
+        from ..ops.validation import invalid_variables_count
+        import jax.numpy as _jnp
+        for level in range(mesh.num_levels):
+            bad = int(invalid_variables_count(
+                _jnp.asarray(solver.variables(level))))
+            if bad:
+                print(f"  level {level}: {bad} invalid entries")
+                return 1
+        print("  NaN check passed")
         sol_path = solution_filepath(cfg.input_file_directory, "variables",
                                      cfg.mesh_duplicate_count,
                                      cfg.num_cycles, 0)
@@ -263,6 +274,19 @@ def main(argv=None) -> int:
         path = output_filepath(cfg.output_file_prefix, "volumes",
                                cfg.mesh_duplicate_count, cfg.num_cycles, 0)
         dump_scalars(path, mesh.levels[0].volumes)
+    if cfg.output_fluxes:
+        # per-node flux dump (dump_flux, io_enhanced.cpp:791-817). The
+        # reference dumps the fluxes array's END-OF-RUN state, which is
+        # all zeros: every RK iteration ends with time_step/zero_fluxes
+        # clearing it (verified against the binary: a --output-fluxes
+        # run emits N rows of 0.00000000000000000e+00). Our functional
+        # solver rebuilds fluxes each stage, so the faithful dump is the
+        # same zero array.
+        import numpy as _np
+        path = output_filepath(cfg.output_file_prefix, "fluxes",
+                               cfg.mesh_duplicate_count, cfg.num_cycles, 0)
+        print(f"Dumping fluxes[] to file: {path}")
+        dump_variables(path, _np.zeros((mesh.levels[0].num_nodes, 5)))
     if cfg.output_edge_fluxes and hasattr(solver, "dmesh"):
         import numpy as _np
         from ..core.constants import far_field_state

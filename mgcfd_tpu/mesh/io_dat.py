@@ -207,10 +207,13 @@ def read_input_dat(path: str):
 
 
 def load_multigrid_mesh(input_dat_path: str,
-                        directory: str = "") -> MultigridMesh:
+                        directory: str = "",
+                        use_cache: bool = True) -> MultigridMesh:
     """Load a complete hierarchy the way the reference driver does
-    (euler3d_cpu_double.cpp:104-254), minus the .bin cache (see
-    mesh.cache for the npz equivalent)."""
+    (euler3d_cpu_double.cpp:104-254), including the binary-cache fast
+    path (read_grid_from_bin, euler3d:176-230): each level (and its MG
+    connectivity) goes through the npz sidecar cache in mesh.cache, with
+    corrupt/stale caches falling back to the parser."""
     from ..utils.logging import log
     base = directory or os.path.dirname(input_dat_path)
     size, num_levels, variant, level_files, mg_files = read_input_dat(
@@ -219,14 +222,21 @@ def load_multigrid_mesh(input_dat_path: str,
         variant.value)
     levels = []
     for i, name in enumerate(level_files):
-        lvl = read_grid_dat(os.path.join(base, name), variant,
-                            need_coords=num_levels > 1)
+        mg_path = (os.path.join(base, mg_files[i])
+                   if i < num_levels - 1 and mg_files else None)
+        if use_cache:
+            from .cache import load_mesh_cached
+            lvl = load_mesh_cached(os.path.join(base, name), variant,
+                                   need_coords=num_levels > 1,
+                                   mg_path=mg_path)
+        else:
+            lvl = read_grid_dat(os.path.join(base, name), variant,
+                                need_coords=num_levels > 1)
+            if mg_path:
+                lvl.mg_mapping = read_mg_connectivity(mg_path)
         log("level %d: %d nodes, %d/%d/%d internal/boundary/wall edges",
             i, lvl.num_nodes, lvl.num_internal_edges,
             lvl.num_boundary_edges, lvl.num_wall_edges)
-        if i < num_levels - 1 and mg_files:
-            lvl.mg_mapping = read_mg_connectivity(
-                os.path.join(base, mg_files[i]))
         levels.append(lvl)
     return MultigridMesh(levels=levels, variant=variant, problem_size=size,
                          name=os.path.basename(input_dat_path))

@@ -136,6 +136,27 @@ def t_shift_flux_rolled(deltas, wpad, variables):
     return flux
 
 
+def t_shift_rw_rolled(deltas, wpad, variables):
+    """Faithful indirect_rw twin of t_shift_flux_rolled: identical
+    slicing/roll/accumulate traffic, near-zero arithmetic (the reference
+    twin does a handful of adds per edge, indirect_rw_kernel.elemfunc.c:
+    42-55, and exists purely as a memory-bound roofline probe,
+    indirect_rw_loop.cpp:8-10)."""
+    D = len(deltas)
+    V, n = variables.shape
+    if wpad.ndim == 3:
+        wpad = wpad.transpose(1, 0, 2).reshape(wpad.shape[1], D * n)
+    e = wpad[0] + wpad[1] + wpad[2]
+    qa = jnp.concatenate([variables] * D, axis=1)
+    qb = jnp.concatenate([jnp.roll(variables, -d, axis=1)
+                          for d in deltas], axis=1)
+    val = (qa + qb + e[None]).reshape(V, D, n)
+    flux = jnp.sum(val, axis=1)
+    for i, d in enumerate(deltas):
+        flux = flux - jnp.roll(val[:, i, :], d, axis=1)
+    return flux
+
+
 def t_dense_boundary_wall_flux(q, bd_normal, wall_normal, wall_const):
     """Dense boundary+wall flux, variable-major.
 

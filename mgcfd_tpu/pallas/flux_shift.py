@@ -110,6 +110,15 @@ def _edge_val(qa, qb, ew):
     return jnp.stack(rows, axis=0)
 
 
+def _edge_val_rw(qa, qb, ew):
+    """Faithful indirect_rw twin value: identical operand windows and
+    accumulate pattern to _edge_val, near-zero arithmetic (the
+    reference's data-movement-only roofline probe,
+    indirect_rw_kernel.elemfunc.c:42-55)."""
+    e = ew[0] + ew[1] + ew[2]
+    return jnp.stack([qa[v] + qb[v] + e for v in range(5)], axis=0)
+
+
 def _lane_roll(x, shift, interpret):
     """Static lane rotate along the last axis. Compiled mode uses the
     native Mosaic rotate; interpret mode falls back to jnp.roll."""
@@ -123,7 +132,7 @@ def _ceil128(d: int) -> int:
     return -(-d // 128) * 128
 
 
-def _kernel(deltas, bn, num_nodes, interpret, q_prev, q_cur, q_next,
+def _kernel(deltas, bn, num_nodes, interpret, rw, q_prev, q_cur, q_next,
             w_prev, w_cur, out_ref):
     """Window lane c <-> node (i-1)*BN + c for grid step i (clamped at
     the boundary blocks, where off-range lanes are zero-weighted); the
@@ -155,7 +164,7 @@ def _kernel(deltas, bn, num_nodes, interpret, q_prev, q_cur, q_next,
         qa = win[:, s: s + L]
         qb = _lane_roll(win, -d, interpret)[:, s: s + L]  # win[p + d]
         ew = wwin[di, :3, s: s + L]
-        val = _edge_val(qa, qb, ew)
+        val = (_edge_val_rw if rw else _edge_val)(qa, qb, ew)
         # a-side: +val at out lane p-h -> val index (p-s) = pad + (p-h)
         # b-side: -val[p-d-s] at out lane p-h -> rotate val by d, then
         #         the same aligned [pad, pad+bn) slice (no wrap: indices
@@ -175,8 +184,8 @@ def pallas_shift_available() -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("deltas", "bn", "num_nodes",
-                                    "interpret"))
-def _call(q_pad, w_pad, deltas, bn, num_nodes, interpret):
+                                    "interpret", "rw"))
+def _call(q_pad, w_pad, deltas, bn, num_nodes, interpret, rw=False):
     from jax.experimental import pallas as pl
 
     rows, total = q_pad.shape
@@ -184,7 +193,7 @@ def _call(q_pad, w_pad, deltas, bn, num_nodes, interpret):
     d_count = w_pad.shape[0]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, deltas, bn, num_nodes, interpret),
+        functools.partial(_kernel, deltas, bn, num_nodes, interpret, rw),
         grid=(k,),
         in_specs=[
             # clamped halo: boundary blocks re-read the edge block; all
@@ -215,7 +224,9 @@ class PallasShiftFlux:
     segment path, as the XLA shift mode does."""
 
     def __init__(self, deltas, weights, num_nodes, dtype=jnp.float32,
-                 block_lanes: int | None = None, interpret: bool = False):
+                 block_lanes: int | None = None, interpret: bool = False,
+                 rw: bool = False):
+        self.rw = rw  # indirect_rw twin: same traffic, near-zero math
         self.deltas = tuple(int(d) for d in deltas)
         self.num_nodes = num_nodes
         dmax = max(self.deltas) if self.deltas else 1
@@ -251,7 +262,7 @@ class PallasShiftFlux:
         n_in = q_t.shape[1]
         if n_in == self.padded:
             return _call(q_t, self.w_pad, self.deltas, self.bn,
-                         self.num_nodes, self.interpret)
+                         self.num_nodes, self.interpret, self.rw)
         tail = self.padded - self.num_nodes
         if tail:
             filler = jnp.broadcast_to(
@@ -260,7 +271,7 @@ class PallasShiftFlux:
         else:
             q_pad = q_t
         out = _call(q_pad, self.w_pad, self.deltas, self.bn,
-                    self.num_nodes, self.interpret)
+                    self.num_nodes, self.interpret, self.rw)
         return out[:, :self.num_nodes]
 
 

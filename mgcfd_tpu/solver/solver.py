@@ -65,6 +65,7 @@ class DeviceLevel:
     shift_wpad_t: Optional[Any] = None  # (4, D*N) padded weights + |w|
     dense_bw_t: Optional[Any] = None  # (bd_normal, wall_normal, wall_const)
     pallas_flux: Optional[Any] = None  # PallasShiftFlux kernel
+    pallas_rw: Optional[Any] = None   # indirect_rw twin kernel
 
 
 @dataclasses.dataclass
@@ -110,6 +111,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                               signs=put(t.signs, jnp.int8))
         shift = None
         shift_wpad_t = None
+        pallas_rw = None
         dense_bw_t = None
         pallas_flux = None
         if config.accumulate in ("shift", "pallas"):
@@ -135,11 +137,16 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 l.num_nodes, l.bedge_b, l.bedge_w, l.wedge_b, l.wedge_w,
                 far_field_state(np.float64)[1])
             if config.accumulate == "pallas":
-                from ..pallas.flux_shift import pallas_shift_flux
+                from ..pallas.flux_shift import PallasShiftFlux, \
+                    pallas_shift_flux
                 interp = jax.default_backend() == "cpu"
                 pallas_flux = pallas_shift_flux(plan, l.num_nodes,
                                                 dtype=dtype,
                                                 interpret=interp)
+                if config.include_indirect_rw:
+                    pallas_rw = PallasShiftFlux(
+                        plan.deltas, plan.weights, l.num_nodes,
+                        dtype=dtype, interpret=interp, rw=True)
             dense_bw_t = (put(bdn), put(wln), put(wlc))
         num_lanes = l.num_nodes
         vol_host = l.volumes
@@ -158,6 +165,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
         dlevels.append(DeviceLevel(
             ell=ell, shift=shift, shift_wpad_t=shift_wpad_t,
             dense_bw_t=dense_bw_t, pallas_flux=pallas_flux,
+            pallas_rw=pallas_rw,
             num_lanes=num_lanes,
             volumes=put(vol_host),
             coords=None if l.coords is None else put(l.coords),
@@ -385,8 +393,22 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
         invalid = invalid + (jnp.sum(bad) + jnp.sum(q[0] < 0)
                              + jnp.sum(q[4] < 0)).astype(jnp.int32)
         if config.include_indirect_rw:
-            # twin with the same slicing pattern; token-consumed
-            rw = internal_flux(q)
+            # FAITHFUL indirect_rw twin: identical slicing/accumulate
+            # traffic with near-zero arithmetic (indirect_rw_loop.cpp:
+            # 8-10 — the memory-bound roofline probe); token-consumed
+            # so XLA cannot dead-code it (the reference discards the
+            # writes via zero_fluxes, euler3d:505)
+            if config.accumulate == "pallas" and lvl.pallas_rw is not None:
+                rw = lvl.pallas_rw(q)
+            elif lvl.shift_wpad_t is not None:
+                rw = tops.t_shift_rw_rolled(deltas, lvl.shift_wpad_t, q)
+            else:
+                rw = internal_flux(q)
+            if sa.shape[0]:
+                valr = q[:, sa] + q[:, sb] + jnp.sum(sw.T, axis=0)[None]
+                rw = rw + tops.t_segment_accumulate(
+                    jnp.concatenate([valr, -valr], axis=1),
+                    jnp.concatenate([sa, sb]), rw.shape[1])
             rw_token = rw_token + jnp.sum(rw) * jnp.zeros(
                 (), variables.dtype)
 

@@ -144,3 +144,21 @@ def test_identify_differences_tolerances():
                                 raise_on_fail=False) == 0
     assert identify_differences(noisy, master, MeshVariant.M6_WING,
                                 raise_on_fail=False) == 1
+
+
+def test_cli_validation_checks_all_levels(dataset, tmp_path, capsys):
+    """-v runs the NaN/invalid scan on EVERY level before the finest-
+    level solution compare (euler3d:704-710)."""
+    d, mesh = dataset
+    rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "2",
+                   "-o", str(d) + "/", "--output-variables",
+                   "--dtype", "float64"])
+    assert rc == 0
+    sol = d / "solution.variables.size=1x.cycles=2.level=0"
+    os.rename(str(d / "variables.size=1x.cycles=2.level=0"), str(sol))
+    rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "2", "-v",
+                   "--dtype", "float64"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "NaN check passed" in out
+    os.remove(str(sol))

@@ -109,3 +109,40 @@ def test_duplicated_mesh_matches_reference_binary(tmp_path):
     assert got.shape == ref.shape
     assert identify_differences(got, ref.reshape(got.shape),
                                 MeshVariant.FVCORR) == 0
+
+
+def test_output_fluxes_matches_reference_binary(tmp_path):
+    """--output-fluxes: the reference dumps the fluxes array's
+    end-of-run state — all zeros, because every RK iteration ends with
+    time_step/zero_fluxes clearing it (io_enhanced.cpp:791-817,
+    euler3d:766-768). Compare files line-for-line."""
+    from mgcfd_tpu.cli.main import main as cli_main
+
+    lvl = generate_box_mesh(5, 5, 5, h=(0.1, 0.1, 0.1),
+                            volume_jitter=0.2, seed=4)
+    mesh = MultigridMesh(levels=[lvl], variant=MeshVariant.FVCORR)
+    _write_dataset(tmp_path, mesh)
+    out = tmp_path / "refout"
+    os.makedirs(out, exist_ok=True)
+    r = subprocess.run(
+        [BINARIES[0], "-i", "input.dat", "-d", str(tmp_path),
+         "-o", str(out) + "/", "-g", "2", "--output-fluxes"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    ref_path = out / "fluxes.size=1x.cycles=2.level=0"
+
+    ours = tmp_path / "ours"
+    os.makedirs(ours, exist_ok=True)
+    rc = cli_main(["-i", "input.dat", "-d", str(tmp_path),
+                   "-o", str(ours) + "/", "-g", "2", "--output-fluxes",
+                   "--dtype", "float64"])
+    assert rc == 0
+    got_path = ours / "fluxes.size=1x.cycles=2.level=0"
+    assert got_path.exists()
+    with open(ref_path) as f1, open(got_path) as f2:
+        ref_lines = f1.read().splitlines()
+        got_lines = f2.read().splitlines()
+    assert len(ref_lines) == len(got_lines) == lvl.num_nodes
+    assert np.loadtxt(str(got_path)).shape == (lvl.num_nodes, 5)
+    np.testing.assert_array_equal(np.loadtxt(str(ref_path)),
+                                  np.loadtxt(str(got_path)))

@@ -156,3 +156,36 @@ def test_mesh_cache(tmp_path):
     np.testing.assert_array_equal(a.edge_a, b.edge_a)
     np.testing.assert_allclose(a.edge_w, b.edge_w)
     np.testing.assert_allclose(a.coords, b.coords)
+
+
+def test_driver_load_path_uses_cache(tmp_path, monkeypatch):
+    """load_multigrid_mesh goes through the npz cache: the second load
+    must not invoke the ASCII parser at all, and mg_mapping/coords must
+    survive the round trip (reference fast path, euler3d:176-230)."""
+    from mgcfd_tpu.mesh import generate_multigrid_box
+    from mgcfd_tpu.mesh.io_dat import (write_grid_dat, write_input_dat,
+                                       write_mg_connectivity,
+                                       load_multigrid_mesh)
+    from mgcfd_tpu.core.types import MultigridMesh
+    import mgcfd_tpu.mesh.io_dat as io_dat
+
+    mesh = generate_multigrid_box(6, 6, 6, 2)
+    base = str(tmp_path)
+    for i, l in enumerate(mesh.levels):
+        write_grid_dat(f"{base}/l{i}.dat", l, MeshVariant.M6_WING)
+    write_mg_connectivity(f"{base}/mg0.dat", mesh.levels[0].mg_mapping)
+    write_input_dat(f"{base}/input.dat", MultigridMesh(
+        levels=mesh.levels, variant=MeshVariant.M6_WING,
+        problem_size=1, name="t"),
+        ["l0.dat", "l1.dat"], ["mg0.dat"])
+
+    m1 = load_multigrid_mesh(f"{base}/input.dat")
+
+    def boom(*a, **k):
+        raise AssertionError("parser invoked on a warm cache")
+    monkeypatch.setattr(io_dat, "read_grid_dat", boom)
+    m2 = load_multigrid_mesh(f"{base}/input.dat")
+    np.testing.assert_array_equal(m1.levels[0].mg_mapping,
+                                  m2.levels[0].mg_mapping)
+    np.testing.assert_allclose(m1.levels[0].coords, m2.levels[0].coords)
+    np.testing.assert_allclose(m1.levels[1].volumes, m2.levels[1].volumes)

@@ -73,3 +73,24 @@ def test_pallas_multi_block():
                          interpret=True)
     got = np.asarray(pf(jnp.asarray(q.T))).T
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+def test_indirect_rw_twin_is_side_effect_free():
+    """The faithful rw twin (pallas + rolled + spill) must not perturb
+    the solve: the reference discards its writes (euler3d:505), we
+    token-consume them. States must match bitwise with the twin on."""
+    from mgcfd_tpu.core.config import SolverConfig
+    from mgcfd_tpu.mesh import generate_multigrid_box
+    from mgcfd_tpu.solver import MGCFDSolver
+    mesh = generate_multigrid_box(6, 6, 6, 2, h=(0.1, 0.1, 0.1),
+                                  volume_jitter=0.2)
+    for acc in ("pallas", "shift"):
+        a = MGCFDSolver(mesh, SolverConfig(
+            dtype="float64", accumulate=acc, transposed=True,
+            include_indirect_rw=False))
+        a.run(cycles=3)
+        b = MGCFDSolver(mesh, SolverConfig(
+            dtype="float64", accumulate=acc, transposed=True,
+            include_indirect_rw=True))
+        b.run(cycles=3)
+        np.testing.assert_array_equal(a.variables(0), b.variables(0))
