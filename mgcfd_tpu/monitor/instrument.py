@@ -8,6 +8,12 @@ its own jitted call, timed with block_until_ready, accumulated per
 Times.csv / LoopNumIters.csv in the reference schema plus an XLACosts.csv
 (flops / bytes from XLA cost analysis: the PAPI-counter analogue).
 
+The kernels timed here are the SAME dispatch the fused solver runs
+(solver.t_compute_fluxes / apply_restrict / apply_prolong / ...): when the
+config selects the transposed layout, the pallas megakernel, gather or
+structured MG transfers, Times.csv attributes those — not a slower
+reference formulation (the production configuration is what users run).
+
 Caveat for remote-tunnelled TPUs (this dev environment): every
 block_until_ready round-trip costs ~30 ms of dispatch latency, which
 floors per-kernel numbers on small problems; the fused solver's
@@ -42,10 +48,14 @@ from ..ops import (
     internal_edge_flux, boundary_edge_flux, wall_edge_flux,
     indirect_rw_edge_values, accumulate_flux,
     compute_step_factor, compute_step_factor_legacy, time_step,
-    mg_restrict, prolong_residuals_interpolate, residual, calc_rms,
-    invalid_variables_count,
+    residual, calc_rms, invalid_variables_count,
 )
-from ..solver.solver import prepare_device_mesh
+from ..ops.tops import t_time_step
+from ..solver.solver import (
+    prepare_device_mesh, state_is_transposed, real_view, lane_writeback,
+    apply_restrict, apply_prolong, t_step_factor, t_compute_fluxes,
+    t_indirect_rw, t_invalid_count, _compute_fluxes,
+)
 
 
 @dataclasses.dataclass
@@ -76,82 +86,123 @@ class InstrumentedSolver:
         self.dmesh = prepare_device_mesh(mesh, config)
         self.dtype = jnp.dtype(config.dtype)
         self.legacy = mesh.variant.uses_legacy_step_factor
+        self.tstate = state_is_transposed(self.dmesh, config)
         ff_q, ff_flux = far_field_state(np.float64)
         self.ff_flux = jnp.asarray(ff_flux, self.dtype)
         self.ff_q = jnp.asarray(ff_q, self.dtype)
         self.stats = KernelStats(defaultdict(float), defaultdict(int),
                                  defaultdict(int), defaultdict(float),
                                  defaultdict(float))
+        self._example_args = {}
         self._build_kernels()
-        self.variables = [jnp.tile(self.ff_q[None, :], (l.num_nodes, 1))
-                          for l in self.dmesh.levels]
-        self.residuals = [jnp.zeros((l.num_nodes, NVAR), self.dtype)
-                          for l in self.dmesh.levels]
+
+        def width(l):
+            return (l.num_lanes or l.num_nodes) if self.tstate \
+                else l.num_nodes
+
+        def init_vars(l):
+            v = jnp.tile(self.ff_q[None, :], (width(l), 1))
+            return v.T if self.tstate else v
+
+        def init_res(l):
+            shape = ((NVAR, width(l)) if self.tstate
+                     else (width(l), NVAR))
+            return jnp.zeros(shape, self.dtype)
+
+        self.state_vars = [init_vars(l) for l in self.dmesh.levels]
+        self.state_res = [init_res(l) for l in self.dmesh.levels]
         self.rms_history: list[float] = []
 
     # --- kernel construction -------------------------------------------
     def _build_kernels(self):
         cfg = self.config
+        ts = self.tstate
         self.k = {}
         for l, lvl in enumerate(self.dmesh.levels):
-            step = (compute_step_factor_legacy if self.legacy
-                    else compute_step_factor)
-            self.k[("compute_step", l)] = jax.jit(
-                lambda v, lvl=lvl, step=step: step(v, lvl.volumes))
+            if ts:
+                self.k[("compute_step", l)] = jax.jit(
+                    lambda q, lvl=lvl: t_step_factor(lvl, q, self.legacy))
+                # the production flux dispatch (pallas / rolled shift /
+                # per-span shift + spill + dense boundary/wall)
+                self.k[("flux", l)] = jax.jit(
+                    lambda q, lvl=lvl: t_compute_fluxes(
+                        lvl, q, self.ff_flux, cfg))
+                self.k[("time_step", l)] = jax.jit(
+                    lambda j, sf, fx, old: t_time_step(j, sf, fx, old),
+                    static_argnums=0)
+                self.k[("indirect_rw", l)] = jax.jit(
+                    lambda q, lvl=lvl: t_indirect_rw(lvl, q, cfg))
+            else:
+                step = (compute_step_factor_legacy if self.legacy
+                        else compute_step_factor)
+                self.k[("compute_step", l)] = jax.jit(
+                    lambda v, lvl=lvl, step=step: step(v, lvl.volumes))
 
-            if cfg.flux_fission:
-                def flux_vals(v, lvl=lvl):
-                    return (internal_edge_flux(v[lvl.edge_a], v[lvl.edge_b],
-                                               lvl.edge_w, lvl.edge_ewt),
+                if cfg.flux_fission:
+                    def flux_vals(v, lvl=lvl):
+                        return (internal_edge_flux(
+                            v[lvl.edge_a], v[lvl.edge_b],
+                            lvl.edge_w, lvl.edge_ewt),
                             boundary_edge_flux(v[lvl.bedge_b], lvl.bedge_w),
                             wall_edge_flux(v[lvl.wedge_b], lvl.wedge_w,
                                            self.ff_flux))
 
-                def update(vals, lvl=lvl):
-                    vi, vb, vw = vals
-                    return accumulate_flux(
-                        lvl.num_nodes, lvl.edge_a, lvl.edge_b, vi,
-                        lvl.bedge_b, vb, lvl.wedge_b, vw, mode="segment")
+                    def update(vals, lvl=lvl):
+                        vi, vb, vw = vals
+                        return accumulate_flux(
+                            lvl.num_nodes, lvl.edge_a, lvl.edge_b, vi,
+                            lvl.bedge_b, vb, lvl.wedge_b, vw,
+                            mode="segment")
 
-                self.k[("flux", l)] = jax.jit(flux_vals)
-                self.k[("update", l)] = jax.jit(update)
-            else:
-                # honours config.accumulate (segment/scatter/ell/shift)
-                from ..solver.solver import _compute_fluxes
+                    self.k[("flux", l)] = jax.jit(flux_vals)
+                    self.k[("update", l)] = jax.jit(update)
+                else:
+                    # honours config.accumulate (segment/scatter/ell/shift)
+                    self.k[("flux", l)] = jax.jit(
+                        lambda v, lvl=lvl: _compute_fluxes(
+                            lvl, v, self.ff_flux, cfg))
 
-                def flux(v, lvl=lvl):
-                    return _compute_fluxes(lvl, v, self.ff_flux,
-                                           self.config)
-                self.k[("flux", l)] = jax.jit(flux)
+                self.k[("time_step", l)] = jax.jit(
+                    lambda j, sf, fx, old: time_step(j, sf, fx, old),
+                    static_argnums=0)
 
-            self.k[("time_step", l)] = jax.jit(
-                lambda j, sf, fx, old: time_step(j, sf, fx, old),
-                static_argnums=0)
-
-            def rw(v, lvl=lvl):
-                va, vb = indirect_rw_edge_values(v[lvl.edge_a],
-                                                 v[lvl.edge_b], lvl.edge_w)
-                return accumulate_flux(lvl.num_nodes, lvl.edge_a,
-                                       lvl.edge_b, va, mode="segment",
-                                       val_internal_b=vb)
-            self.k[("indirect_rw", l)] = jax.jit(rw)
+                def rw(v, lvl=lvl):
+                    va, vb = indirect_rw_edge_values(
+                        v[lvl.edge_a], v[lvl.edge_b], lvl.edge_w)
+                    return accumulate_flux(lvl.num_nodes, lvl.edge_a,
+                                           lvl.edge_b, va, mode="segment",
+                                           val_internal_b=vb)
+                self.k[("indirect_rw", l)] = jax.jit(rw)
 
             if l < len(self.dmesh.levels) - 1:
                 nxt = self.dmesh.levels[l + 1]
-                self.k[("restrict", l)] = jax.jit(
-                    lambda vf, vc, lvl=lvl, nxt=nxt: mg_restrict(
-                        vf, vc, lvl.mg_mapping, nxt.num_nodes))
-                self.k[("prolong", l)] = jax.jit(
-                    lambda rc, rf, vf, lvl=lvl, nxt=nxt:
-                    prolong_residuals_interpolate(
-                        rc, rf, vf, lvl.mg_mapping, nxt.coords, lvl.coords,
-                        lvl.edge_a, lvl.edge_b))
+
+                # same dispatch as the fused cycle: structured parity /
+                # gather tables / segment-mean scatter, with lane-padded
+                # writeback when the state carries pallas padding
+                def restrict(vf, vc, lvl=lvl, nxt=nxt):
+                    fine_r = real_view(vf, lvl, ts)
+                    coarse_r = real_view(vc, nxt, ts)
+                    new_c = apply_restrict(lvl, nxt, fine_r, coarse_r, ts)
+                    return lane_writeback(vc, new_c, coarse_r, ts)
+
+                def prolong(rc, rf, vf, lvl=lvl, nxt=nxt):
+                    res_c = real_view(rc, nxt, ts)
+                    res_f = real_view(rf, lvl, ts)
+                    vars_f = real_view(vf, lvl, ts)
+                    new_f = apply_prolong(lvl, nxt, res_c, res_f,
+                                          vars_f, ts)
+                    return lane_writeback(vf, new_f, vars_f, ts)
+
+                self.k[("restrict", l)] = jax.jit(restrict)
+                self.k[("prolong", l)] = jax.jit(prolong)
 
     # --- timed invocation ----------------------------------------------
     _recording = True
 
     def _run_kernel(self, name, l, iters, *args):
         fn = self.k[(name, l)]
+        self._example_args.setdefault((name, l), args)
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
@@ -162,28 +213,29 @@ class InstrumentedSolver:
         return out
 
     def record_costs(self):
-        """XLA cost analysis per compiled kernel (PAPI-counter analogue)."""
-        for l, lvl in enumerate(self.dmesh.levels):
-            v = self.variables[l]
-            examples = {
-                "compute_step": (v,),
-                "flux": (v,),
-                "indirect_rw": (v,),
-            }
-            for name, args in examples.items():
-                fl, by = _cost_of(self.k[(name, l)], *args)
-                self.stats.flops[(name, l)] = fl
-                self.stats.bytes_accessed[(name, l)] = by
+        """XLA cost analysis per compiled kernel (PAPI-counter analogue).
+        Uses the example arguments captured from the run itself, so every
+        timed kernel — including MG transfers and the RK update — gets a
+        flop/byte row in XLACosts.csv."""
+        for (name, l), args in self._example_args.items():
+            fl, by = _cost_of(self.k[(name, l)], *args)
+            self.stats.flops[(name, l)] = fl
+            self.stats.bytes_accessed[(name, l)] = by
 
     # --- solver walk ----------------------------------------------------
+    def _invalid(self, v) -> int:
+        if self.tstate:
+            return int(t_invalid_count(v))
+        return int(invalid_variables_count(v))
+
     def _visit(self, l):
         lvl = self.dmesh.levels[l]
         n = lvl.num_nodes
-        v = self.variables[l]
+        v = self.state_vars[l]
         old = v
         sf = self._run_kernel("compute_step", l, n, v)
         for j in range(RK):
-            if self.config.flux_fission:
+            if self.config.flux_fission and not self.tstate:
                 ne = (lvl.edge_a.shape[0] + lvl.bedge_b.shape[0]
                       + lvl.wedge_b.shape[0])
                 vals = self._run_kernel("flux", l, lvl.edge_a.shape[0], v)
@@ -193,11 +245,11 @@ class InstrumentedSolver:
             v = self._run_kernel("time_step", l, n, j, sf, fx, old)
             if self.config.include_indirect_rw:
                 self._run_kernel("indirect_rw", l, lvl.edge_a.shape[0], v)
-        self.variables[l] = v
-        self.residuals[l] = residual(old, v)
-        if int(invalid_variables_count(v)) > 0:
+        self.state_vars[l] = v
+        self.state_res[l] = residual(old, v)
+        if self._invalid(v) > 0:
             raise FloatingPointError(f"invalid state on level {l}")
-        return self.residuals[l]
+        return self.state_res[l]
 
     def run(self, cycles: int | None = None, verbose: bool = False,
             warmup: bool = True):
@@ -207,36 +259,38 @@ class InstrumentedSolver:
         (matching what the reference's -DTIME timers measure)."""
         cycles = cycles if cycles is not None else self.config.num_cycles
         if warmup:
-            snap_v = list(self.variables)
-            snap_r = list(self.residuals)
+            snap_v = list(self.state_vars)
+            snap_r = list(self.state_res)
             self._recording = False
             try:
                 self.run(cycles=1, warmup=False)
             finally:
                 self._recording = True
-                self.variables = snap_v
-                self.residuals = snap_r
+                self.state_vars = snap_v
+                self.state_res = snap_r
                 self.rms_history = []
         L = len(self.dmesh.levels)
         t_start = time.perf_counter()
         for i in range(cycles):
             if L == 1:
                 res = self._visit(0)
-                self.rms_history.append(float(calc_rms(res)))
+                self.rms_history.append(float(calc_rms(
+                    res, self.dmesh.levels[0].num_nodes)))
             else:
                 for l in range(L - 1):
                     res = self._visit(l)
                     if l == 0:
-                        self.rms_history.append(float(calc_rms(res)))
-                    self.variables[l + 1] = self._run_kernel(
+                        self.rms_history.append(float(calc_rms(
+                            res, self.dmesh.levels[0].num_nodes)))
+                    self.state_vars[l + 1] = self._run_kernel(
                         "restrict", l, self.dmesh.levels[l].num_nodes,
-                        self.variables[l], self.variables[l + 1])
+                        self.state_vars[l], self.state_vars[l + 1])
                 self._visit(L - 1)
                 for l in range(L - 2, -1, -1):
-                    self.variables[l] = self._run_kernel(
+                    self.state_vars[l] = self._run_kernel(
                         "prolong", l, self.dmesh.levels[l].edge_a.shape[0],
-                        self.residuals[l + 1], self.residuals[l],
-                        self.variables[l])
+                        self.state_res[l + 1], self.state_res[l],
+                        self.state_vars[l])
                     if l > 0:
                         self._visit(l)
             if verbose:
@@ -245,10 +299,19 @@ class InstrumentedSolver:
         self.stats.total_time = time.perf_counter() - t_start
         return self.stats
 
+    def variables(self, level: int = 0) -> np.ndarray:
+        """Real-width node-major view (dumps / validation) — same
+        accessor API as MGCFDSolver.variables."""
+        v = self.state_vars[level]
+        n = self.dmesh.levels[level].num_nodes
+        return np.asarray(v[:, :n].T if self.tstate else v)
+
     def write_reports(self, prefix: str = "", include_costs: bool = True):
         from .csvout import (CsvIdentification, write_times_csv,
                              write_loop_stats_csv, write_costs_csv)
-        ident = CsvIdentification.build(self.config, self.mesh)
+        ident = CsvIdentification.build(
+            self.config, self.mesh,
+            num_partitions=self.config.num_partitions)
         L = len(self.dmesh.levels)
         p1 = write_times_csv(prefix, ident, dict(self.stats.times), L,
                              self.stats.total_time)

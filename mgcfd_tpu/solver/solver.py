@@ -331,6 +331,89 @@ def _visit(lvl: DeviceLevel, variables, ff_flux, config,
     return variables, old, res, sf, invalid, rw_token
 
 
+def t_step_factor(lvl: DeviceLevel, q, legacy_step: bool):
+    """Step factor, variable-major state (cfd_loops.cpp:76-157 semantics;
+    lane-padded tails carry 1e30 volumes so they never win the min)."""
+    from ..ops import tops
+
+    prim = tops.t_primitives(q)
+    if legacy_step:
+        return 0.5 / (jnp.sqrt(lvl.volumes) * (prim["speed"] + prim["sos"]))
+    dt = 0.5 * jnp.cbrt(lvl.volumes) / (prim["speed"] + prim["sos"])
+    return jnp.broadcast_to(jnp.min(dt), dt.shape) / lvl.volumes
+
+
+def t_compute_fluxes(lvl: DeviceLevel, q, ff_flux, config):
+    """One full flux evaluation (internal + boundary + wall), variable-major.
+    Dispatches the production fast path: pallas megakernel > batched-roll
+    shift > per-span shift, plus the spill segment-sum and the dense
+    aggregated boundary/wall fluxes. Shared by the fused V-cycle and the
+    instrumented (per-kernel-timed) solver so Times.csv attributes the
+    configuration users actually run."""
+    from ..ops import tops
+
+    deltas, weights, (sa, sb, sw) = lvl.shift
+    nl = q.shape[1]
+    if config.accumulate == "pallas" and lvl.pallas_flux is not None:
+        flux = lvl.pallas_flux(q)
+    elif lvl.shift_wpad_t is not None:
+        flux = tops.t_shift_flux_rolled(deltas, lvl.shift_wpad_t, q)
+    else:
+        flux = tops.t_shift_flux(deltas, [w.T for w in weights], q,
+                                 lvl.num_nodes)
+    if sa.shape[0]:
+        val = tops.t_internal_edge_flux(q[:, sa], q[:, sb], sw.T)
+        flux = flux + tops.t_segment_accumulate(
+            jnp.concatenate([val, -val], axis=1),
+            jnp.concatenate([sa, sb]), nl)
+    if lvl.dense_bw_t is not None:
+        bdn, wln, wlc = lvl.dense_bw_t
+        if bdn.shape[1] != nl:  # unpadded input against padded constants
+            bdn, wln, wlc = bdn[:, :nl], wln[:, :nl], wlc[:, :nl]
+        flux = flux + tops.t_dense_boundary_wall_flux(q, bdn, wln, wlc)
+    else:
+        val_bd = tops.t_boundary_edge_flux(q[:, lvl.bedge_b],
+                                           lvl.bedge_w.T)
+        # ff_flux is already (3, 5) = [direction, variable]
+        val_w = tops.t_wall_edge_flux(q[:, lvl.wedge_b],
+                                      lvl.wedge_w.T, ff_flux)
+        flux = flux + tops.t_segment_accumulate(
+            jnp.concatenate([val_bd, val_w], axis=1),
+            jnp.concatenate([lvl.bedge_b, lvl.wedge_b]), nl)
+    return flux
+
+
+def t_indirect_rw(lvl: DeviceLevel, q, config):
+    """FAITHFUL indirect_rw twin, variable-major: identical slicing /
+    roll / accumulate traffic with near-zero arithmetic
+    (indirect_rw_loop.cpp:8-10 — the memory-bound roofline probe).
+    Returns the accumulated array; the caller token-consumes it."""
+    from ..ops import tops
+
+    deltas, weights, (sa, sb, sw) = lvl.shift
+    if config.accumulate == "pallas" and lvl.pallas_rw is not None:
+        rw = lvl.pallas_rw(q)
+    elif lvl.shift_wpad_t is not None:
+        rw = tops.t_shift_rw_rolled(deltas, lvl.shift_wpad_t, q)
+    else:
+        rw = tops.t_shift_flux(deltas, [w.T for w in weights], q,
+                               lvl.num_nodes)
+    if sa.shape[0]:
+        valr = q[:, sa] + q[:, sb] + jnp.sum(sw.T, axis=0)[None]
+        rw = rw + tops.t_segment_accumulate(
+            jnp.concatenate([valr, -valr], axis=1),
+            jnp.concatenate([sa, sb]), rw.shape[1])
+    return rw
+
+
+def t_invalid_count(q):
+    """NaN/Inf/negative-density-or-energy count, variable-major (the
+    lane-padded tail holds finite far-field gas, so it never trips)."""
+    bad = ~jnp.isfinite(q)
+    return (jnp.sum(bad) + jnp.sum(q[0] < 0)
+            + jnp.sum(q[4] < 0)).astype(jnp.int32)
+
+
 def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
                       legacy_step: bool, io_transposed: bool = False):
     """Variable-major RK inner loop (see ops/tops.py): the state lives as
@@ -338,77 +421,22 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
     shift-decomposition flux. With io_transposed the caller already holds
     (and receives back) variable-major arrays; otherwise transposes happen
     at the visit boundary."""
-    from ..ops import tops
-
     q = variables if io_transposed else variables.T
-    nl = lvl.num_lanes or lvl.num_nodes  # lane-padded state width
-    if not io_transposed and q.shape[1] != nl and lvl.pallas_flux is not None:
-        # standalone transposed visit on unpadded node-major input:
-        # let the pallas wrapper's legacy pad path handle it
-        nl = q.shape[1]
     old = q
-    prim = tops.t_primitives(q)
-    if legacy_step:
-        sf = 0.5 / (jnp.sqrt(lvl.volumes) * (prim["speed"] + prim["sos"]))
-    else:
-        dt = 0.5 * jnp.cbrt(lvl.volumes) / (prim["speed"] + prim["sos"])
-        sf = jnp.broadcast_to(jnp.min(dt), dt.shape) / lvl.volumes
-
-    deltas, weights, (sa, sb, sw) = lvl.shift
-    weights_t = [w.T for w in weights]
-
-    def internal_flux(qv):
-        if config.accumulate == "pallas" and lvl.pallas_flux is not None:
-            return lvl.pallas_flux(qv)
-        if lvl.shift_wpad_t is not None:
-            return tops.t_shift_flux_rolled(deltas, lvl.shift_wpad_t, qv)
-        return tops.t_shift_flux(deltas, weights_t, qv, lvl.num_nodes)
+    sf = t_step_factor(lvl, q, legacy_step)
 
     invalid = jnp.int32(0)
     rw_token = jnp.zeros((), variables.dtype)
     for j in range(RK):
-        flux = internal_flux(q)
-        if sa.shape[0]:
-            val = tops.t_internal_edge_flux(q[:, sa], q[:, sb], sw.T)
-            flux = flux + tops.t_segment_accumulate(
-                jnp.concatenate([val, -val], axis=1),
-                jnp.concatenate([sa, sb]), nl)
-        if lvl.dense_bw_t is not None:
-            bdn, wln, wlc = lvl.dense_bw_t
-            flux = flux + tops.t_dense_boundary_wall_flux(q, bdn, wln,
-                                                          wlc)
-        else:
-            val_bd = tops.t_boundary_edge_flux(q[:, lvl.bedge_b],
-                                               lvl.bedge_w.T)
-            # ff_flux is already (3, 5) = [direction, variable]
-            val_w = tops.t_wall_edge_flux(q[:, lvl.wedge_b],
-                                          lvl.wedge_w.T, ff_flux)
-            flux = flux + tops.t_segment_accumulate(
-                jnp.concatenate([val_bd, val_w], axis=1),
-                jnp.concatenate([lvl.bedge_b, lvl.wedge_b]),
-                nl)
-
+        flux = t_compute_fluxes(lvl, q, ff_flux, config)
+        from ..ops import tops
         q = tops.t_time_step(j, sf, flux, old)
-        bad = ~jnp.isfinite(q)
-        invalid = invalid + (jnp.sum(bad) + jnp.sum(q[0] < 0)
-                             + jnp.sum(q[4] < 0)).astype(jnp.int32)
+        invalid = invalid + t_invalid_count(q)
         if config.include_indirect_rw:
-            # FAITHFUL indirect_rw twin: identical slicing/accumulate
-            # traffic with near-zero arithmetic (indirect_rw_loop.cpp:
-            # 8-10 — the memory-bound roofline probe); token-consumed
-            # so XLA cannot dead-code it (the reference discards the
-            # writes via zero_fluxes, euler3d:505)
-            if config.accumulate == "pallas" and lvl.pallas_rw is not None:
-                rw = lvl.pallas_rw(q)
-            elif lvl.shift_wpad_t is not None:
-                rw = tops.t_shift_rw_rolled(deltas, lvl.shift_wpad_t, q)
-            else:
-                rw = internal_flux(q)
-            if sa.shape[0]:
-                valr = q[:, sa] + q[:, sb] + jnp.sum(sw.T, axis=0)[None]
-                rw = rw + tops.t_segment_accumulate(
-                    jnp.concatenate([valr, -valr], axis=1),
-                    jnp.concatenate([sa, sb]), rw.shape[1])
+            # twin runs inside the RK loop like the reference
+            # (euler3d:491-505); token-consumed so XLA cannot dead-code
+            # it (the reference discards the writes via zero_fluxes)
+            rw = t_indirect_rw(lvl, q, config)
             rw_token = rw_token + jnp.sum(rw) * jnp.zeros(
                 (), variables.dtype)
 
@@ -418,8 +446,87 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
 
 
 # ---------------------------------------------------------------------------
+# MG transfer dispatch (shared by the fused and instrumented solvers)
+# ---------------------------------------------------------------------------
+
+def apply_restrict(fine: DeviceLevel, coarse: DeviceLevel,
+                   fine_r, coarse_r, tstate: bool):
+    """Restrict fine variables onto the coarse level (euler3d:547-552),
+    dispatching the fastest available formulation: structured parity
+    slices > children gather > segment-mean scatter. Inputs/outputs are
+    real-width arrays in the state layout (tstate => (NVAR, N))."""
+    def nm(x):
+        return x.T if tstate else x
+
+    st = nm  # the layouts are each other's transpose
+    rs, rt = fine.restrict_structured, fine.restrict_tables
+    if rs is not None:
+        fdims, cdims, counts, mapped = rs
+        if tstate:
+            # variable-major parity slices; the node-major twin under a
+            # transposed cycle lowers to slow gathers
+            from ..ops.mg import t_mg_restrict_structured
+            return t_mg_restrict_structured(fine_r, coarse_r, fdims,
+                                            cdims, counts, mapped)
+        from ..ops.mg import mg_restrict_structured
+        return mg_restrict_structured(fine_r, coarse_r, fdims, cdims,
+                                      counts, mapped)
+    if rt is not None:
+        from ..ops.mg import mg_restrict_gather
+        return st(mg_restrict_gather(nm(fine_r), nm(coarse_r), *rt))
+    return st(mg_restrict(nm(fine_r), nm(coarse_r), fine.mg_mapping,
+                          coarse.num_nodes))
+
+
+def apply_prolong(fine: DeviceLevel, coarse: DeviceLevel,
+                  res_c, res_f, vars_f, tstate: bool):
+    """Prolong coarse residuals into the fine variables
+    (mg_loops.cpp:678-864 live operator incl. the a1->b2 quirk),
+    dispatching span-dense > gather > scatter formulations. res_c /
+    res_f / vars_f are real-width arrays in the state layout."""
+    def nm(x):
+        return x.T if tstate else x
+
+    st = nm
+    if fine.prolong_shift_tables is not None:
+        from ..ops.mg import prolong_shift
+        return prolong_shift(nm(res_c), res_f, vars_f,
+                             fine.prolong_shift_tables, transposed=tstate)
+    if fine.prolong_tables is not None:
+        from ..ops.mg import prolong_gather
+        return st(prolong_gather(nm(res_c), nm(res_f), nm(vars_f),
+                                 fine.prolong_tables))
+    return st(prolong_residuals_interpolate(
+        nm(res_c), nm(res_f), nm(vars_f), fine.mg_mapping, coarse.coords,
+        fine.coords, fine.edge_a, fine.edge_b))
+
+
+# ---------------------------------------------------------------------------
 # the V-cycle
 # ---------------------------------------------------------------------------
+
+def real_view(x, lvl: DeviceLevel, tstate: bool):
+    """Slice a (possibly lane-padded) state array to the real node
+    count. Fuses into the consumer's reads — no copy."""
+    n = lvl.num_nodes
+    if tstate:
+        return x if x.shape[1] == n else x[:, :n]
+    return x
+
+
+def lane_writeback(full, new_real, old_real, tstate: bool):
+    """Install an update computed on the real-width view into the
+    (possibly lane-padded) state array. The pad sits under an add
+    root, so it fuses (a pad/concat as fusion ROOT materialises at
+    ~1/25th of copy speed on the v5e); the tail gets += 0 and keeps
+    its far-field gas."""
+    if not tstate or full.shape[1] == new_real.shape[1]:
+        return new_real
+    d = full.shape[1] - new_real.shape[1]
+    zero = jnp.zeros((), full.dtype)
+    return full + jax.lax.pad(new_real - old_real, zero,
+                              ((0, 0, 0), (0, d, 0)))
+
 
 def state_is_transposed(dmesh: DeviceMesh, config: SolverConfig) -> bool:
     """Whole-cycle variable-major state: every level must have a shift
@@ -441,34 +548,11 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
     ff_flux = dmesh.ff_flux
     tstate = state_is_transposed(dmesh, config)
 
-    def nm(x):
-        """node-major view of a state array."""
-        return x.T if tstate else x
-
-    def st(x_nm):
-        """state-layout view of a node-major array."""
-        return x_nm.T if tstate else x_nm
-
     def real(x, lvl):
-        """Slice a (possibly lane-padded) state array to the real node
-        count. Fuses into the consumer's reads — no copy."""
-        n = lvl.num_nodes
-        if tstate:
-            return x if x.shape[1] == n else x[:, :n]
-        return x
+        return real_view(x, lvl, tstate)
 
     def writeback(full, new_real, old_real):
-        """Install an update computed on the real-width view into the
-        (possibly lane-padded) state array. The pad sits under an add
-        root, so it fuses (a pad/concat as fusion ROOT materialises at
-        ~1/25th of copy speed on the v5e); the tail gets += 0 and keeps
-        its far-field gas."""
-        if not tstate or full.shape[1] == new_real.shape[1]:
-            return new_real
-        d = full.shape[1] - new_real.shape[1]
-        zero = jnp.zeros((), full.dtype)
-        return full + jax.lax.pad(new_real - old_real, zero,
-                                  ((0, 0, 0), (0, d, 0)))
+        return lane_writeback(full, new_real, old_real, tstate)
 
     def cycle(state):
         variables = list(state["variables"])
@@ -496,32 +580,10 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
                 # because the state may be lane-padded (tail res == 0)
                 rms = calc_rms(res, dmesh.levels[0].num_nodes)
             # restrict variables l -> l+1 (euler3d:547-552)
-            rs = dmesh.levels[l].restrict_structured
-            rt = dmesh.levels[l].restrict_tables
             fine_r = real(variables[l], dmesh.levels[l])
             coarse_r = real(variables[l + 1], dmesh.levels[l + 1])
-            if rs is not None:
-                fdims, cdims, counts, mapped = rs
-                if tstate:
-                    # variable-major parity slices; the node-major twin
-                    # under a transposed cycle lowers to slow gathers
-                    from ..ops.mg import t_mg_restrict_structured
-                    new_c = t_mg_restrict_structured(
-                        fine_r, coarse_r, fdims, cdims, counts, mapped)
-                else:
-                    from ..ops.mg import mg_restrict_structured
-                    new_c = st(mg_restrict_structured(
-                        nm(fine_r), nm(coarse_r), fdims,
-                        cdims, counts, mapped))
-            elif rt is not None:
-                from ..ops.mg import mg_restrict_gather
-                new_c = st(mg_restrict_gather(
-                    nm(fine_r), nm(coarse_r), *rt))
-            else:
-                new_c = st(mg_restrict(
-                    nm(fine_r), nm(coarse_r),
-                    dmesh.levels[l].mg_mapping,
-                    dmesh.levels[l + 1].num_nodes))
+            new_c = apply_restrict(dmesh.levels[l], dmesh.levels[l + 1],
+                                   fine_r, coarse_r, tstate)
             variables[l + 1] = writeback(variables[l + 1], new_c,
                                          coarse_r)
 
@@ -537,21 +599,8 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
             res_c = real(residuals[l + 1], coarse)
             res_f = real(residuals[l], fine)
             vars_f = real(variables[l], fine)
-            if fine.prolong_shift_tables is not None:
-                from ..ops.mg import prolong_shift
-                new_f = prolong_shift(
-                    nm(res_c), res_f, vars_f,
-                    fine.prolong_shift_tables, transposed=tstate)
-            elif fine.prolong_tables is not None:
-                from ..ops.mg import prolong_gather
-                new_f = st(prolong_gather(
-                    nm(res_c), nm(res_f), nm(vars_f),
-                    fine.prolong_tables))
-            else:
-                new_f = st(prolong_residuals_interpolate(
-                    nm(res_c), nm(res_f), nm(vars_f),
-                    fine.mg_mapping, coarse.coords, fine.coords,
-                    fine.edge_a, fine.edge_b))
+            new_f = apply_prolong(fine, coarse, res_c, res_f, vars_f,
+                                  tstate)
             variables[l] = writeback(variables[l], new_f, vars_f)
             if l > 0:
                 do_visit(l)

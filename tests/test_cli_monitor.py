@@ -94,7 +94,7 @@ def test_instrumented_matches_fused(dataset, tmp_path):
     inst = InstrumentedSolver(mesh, SolverConfig(
         dtype="float64", include_indirect_rw=True))
     inst.run(cycles=3)
-    np.testing.assert_allclose(np.asarray(inst.variables[0]),
+    np.testing.assert_allclose(inst.variables(0),
                                fused.variables(0), rtol=1e-11, atol=1e-15)
     # stats recorded for every kernel x level with the right counts
     st = inst.stats
@@ -125,10 +125,32 @@ def test_instrumented_fission_matches(dataset):
     b = InstrumentedSolver(mesh, SolverConfig(dtype="float64",
                                               flux_fission=True))
     b.run(cycles=2)
-    np.testing.assert_allclose(np.asarray(a.variables[0]),
-                               np.asarray(b.variables[0]),
+    np.testing.assert_allclose(a.variables(0), b.variables(0),
                                rtol=1e-12, atol=1e-15)
     assert b.stats.iters[("update", 0)] > 0
+
+
+def test_instrumented_attributes_production_paths(dataset):
+    """Times.csv must attribute the configuration users actually run:
+    under --transposed the instrumented kernels are the variable-major
+    shift/rolled dispatch (t_compute_fluxes) and the gather/structured
+    MG transfers — bitwise-matching the fused transposed solver."""
+    _, mesh = dataset
+    cfg = SolverConfig(dtype="float64", accumulate="shift",
+                       transposed=True, include_indirect_rw=True)
+    fused = MGCFDSolver(mesh, cfg)
+    fused.run(cycles=3)
+    inst = InstrumentedSolver(mesh, cfg)
+    assert inst.tstate
+    inst.run(cycles=3)
+    np.testing.assert_allclose(inst.variables(0), fused.variables(0),
+                               rtol=1e-12, atol=1e-16)
+    assert inst.stats.times[("flux", 0)] > 0
+    assert inst.stats.times[("indirect_rw", 0)] > 0
+    # cost rows exist for the MG transfers too (captured example args)
+    inst.record_costs()
+    assert ("restrict", 0) in inst.stats.flops
+    assert ("prolong", 0) in inst.stats.flops
 
 
 def test_identify_differences_tolerances():
