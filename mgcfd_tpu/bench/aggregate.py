@@ -27,6 +27,33 @@ ID_COLS = ["Size", "Mesh", "MG cycles", "Flux variant", "Flux options",
 KERNELS = ["flux", "update", "compute_step", "time_step", "restrict",
            "prolong", "indirect_rw"]
 
+# Peak device rates for utilization normalization — the TPU analogue of
+# the reference's GHz / Flops/Cycle derived columns (aggregate-output-
+# data.py:624-692): instead of normalizing by clock, normalize by the
+# device's peak FLOP/s and peak HBM bandwidth (public spec-sheet
+# numbers). Keyed by substrings of the 'Instruction set' CSV field
+# (jax device_kind). Values: (peak FLOP/s dense bf16, peak HBM B/s).
+# This app is memory-bound (<1 flop/byte, SURVEY §6), so '% HBM peak'
+# is the roofline-relevant column; '% peak FLOPs' is reported for
+# completeness (fp32 VPU code sees a fraction of the bf16 MXU peak).
+DEVICE_PEAKS = [
+    ("v6e", (918e12, 1640e9)),
+    ("trillium", (918e12, 1640e9)),
+    ("v5p", (459e12, 2765e9)),
+    ("v5e", (197e12, 819e9)),
+    ("v5 lite", (197e12, 819e9)),
+    ("v4", (275e12, 1228e9)),
+]
+
+
+def device_peaks(device_kind: str):
+    """-> (peak_flops, peak_bw) or (0, 0) when unknown (CPU, new TPUs)."""
+    dk = (device_kind or "").lower()
+    for key, peaks in DEVICE_PEAKS:
+        if key in dk:
+            return peaks
+    return 0.0, 0.0
+
 
 def _read_wide_csv(path: str):
     with open(path) as f:
@@ -131,6 +158,9 @@ def aggregate(records):
         rec = dict(zip(ID_COLS, ident_vals))
         mean_fl = sum(r.get("flops_total", 0.0) for r in rs) / n
         mean_by = sum(r.get("bytes_total", 0.0) for r in rs) / n
+        peak_fl, peak_bw = device_peaks(rec.get("Instruction set", ""))
+        flops_sec = (mean_fl / mean_s) if mean_s else 0.0
+        bytes_sec = (mean_by / mean_s) if mean_s else 0.0
         rec.update({
             "config": base, "kernel": kernel, "level": level,
             "num repeats": n,
@@ -140,9 +170,16 @@ def aggregate(records):
             "iters/sec": (mean_i / mean_s) if mean_s else 0.0,
             # derived metrics (reference: aggregate-output-data.py:542-724;
             # flop counts from the compiler instead of x86 asm regexes)
-            "GFLOPs/sec": (mean_fl / mean_s / 1e9) if mean_s else 0.0,
-            "GB/sec": (mean_by / mean_s / 1e9) if mean_s else 0.0,
+            "GFLOPs/sec": flops_sec / 1e9,
+            "GB/sec": bytes_sec / 1e9,
             "Flops/Byte": (mean_fl / mean_by) if mean_by else 0.0,
+            # measured-vs-peak utilization (the GHz / Flops/Cycle
+            # analogue): % of the device's peak FLOP/s and % of peak
+            # HBM bandwidth per kernel; 0 when the device is unknown
+            "pct peak FLOPs": (100.0 * flops_sec / peak_fl)
+            if peak_fl else 0.0,
+            "pct peak HBM": (100.0 * bytes_sec / peak_bw)
+            if peak_bw else 0.0,
             "total mean": sum(r["total"] for r in rs) / n,
         })
         out.append(rec)

@@ -115,7 +115,10 @@ def generate_jobs(profile_path: str, repo_root: str | None = None) -> str:
                     "-m", str(run["mesh multi"]),
                     "-o", "./", "--dtype", dtype,
                     *acc_flags,
-                    "--monitor", "instrumented"]
+                    "--monitor", "instrumented",
+                    # compiled-artifact capture per job (the objdump
+                    # analogue, run-templates/run-mgcfd.sh:97-119)
+                    "--dump-hlo", "hlo"]
             if parts > 1:
                 cli += ["--partitions", str(parts)]
             if run.get("platform"):

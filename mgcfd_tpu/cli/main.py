@@ -134,6 +134,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of one extra "
                         "V-cycle after the run (view with xprof/"
                         "tensorboard)")
+    p.add_argument("--dump-hlo", default=None, metavar="DIR",
+                   help="save compiled optimized-HLO text per kernel "
+                        "(instrumented) or for the whole V-cycle (fused) "
+                        "— the objdump-capture analogue of the reference "
+                        "harness (run-mgcfd.sh:97-119)")
     return p
 
 
@@ -232,6 +237,11 @@ def main(argv=None) -> int:
         with jax.profiler.trace(args.profile_dir):
             solver.run(1)
         print(f"Profiler trace written to: {args.profile_dir}")
+
+    if args.dump_hlo and hasattr(solver, "dump_hlo"):
+        paths = solver.dump_hlo(args.dump_hlo)
+        print(f"HLO artifacts written: {len(paths)} files in "
+              f"{args.dump_hlo}")
 
     # --- validation (euler3d_cpu_double.cpp:704-744) ---
     if cfg.validate_result:

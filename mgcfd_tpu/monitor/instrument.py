@@ -212,6 +212,26 @@ class InstrumentedSolver:
             self.stats.calls[(name, l)] += 1
         return out
 
+    def dump_hlo(self, out_dir: str) -> list:
+        """Write each compiled kernel's optimized HLO text into out_dir —
+        the TPU analogue of the reference harness's per-job objdump'd
+        loop assembly (run-templates/run-mgcfd.sh:97-119): the artifact an
+        instruction-level analysis pipeline consumes. One file per
+        (kernel, level), e.g. flux0.hlo.txt."""
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for (name, l), args in sorted(self._example_args.items()):
+            try:
+                txt = self.k[(name, l)].lower(*args).compile().as_text()
+            except Exception as e:
+                txt = f"<HLO capture failed: {type(e).__name__}: {e}>\n"
+            p = os.path.join(out_dir, f"{name}{l}.hlo.txt")
+            with open(p, "w") as f:
+                f.write(txt)
+            paths.append(p)
+        return paths
+
     def record_costs(self):
         """XLA cost analysis per compiled kernel (PAPI-counter analogue).
         Uses the example arguments captured from the run itself, so every

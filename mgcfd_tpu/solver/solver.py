@@ -671,7 +671,11 @@ def _parametrised(dmesh: DeviceMesh, config: SolverConfig, build):
                         ff_flux=parts["ff_flux"], ff_q=parts["ff_q"])
         return build(dm)(state)
 
-    return lambda state: run(state, arrays)
+    def bound(state):
+        return run(state, arrays)
+
+    bound.lower = lambda state: run.lower(state, arrays)
+    return bound
 
 
 def make_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
@@ -838,6 +842,17 @@ class MGCFDSolver:
                 print(f"MG cycle {done} / {cycles} "
                       f"(RMS = {self.rms_history[-1]:.3e})")
         return self.state
+
+    def dump_hlo(self, out_dir: str) -> list:
+        """Optimized HLO text of the whole compiled V-cycle — the fused
+        solver's compiled-artifact capture (objdump analogue,
+        run-templates/run-mgcfd.sh:97-119)."""
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        p = os.path.join(out_dir, "vcycle.hlo.txt")
+        with open(p, "w") as f:
+            f.write(self._cycle.lower(self.state).compile().as_text())
+        return [p]
 
     def variables(self, level: int = 0) -> np.ndarray:
         v = self.state["variables"][level]

@@ -60,6 +60,15 @@ def test_generate_and_aggregate(tmp_path):
                         capture_output=True, text=True, timeout=60)
     assert "already complete" in r2.stdout
 
+    # compiled-artifact capture: per-kernel optimized HLO in the job dir
+    # (the reference run script's objdump capture, run-mgcfd.sh:97-119)
+    hlo_dir = os.path.join(jobs_dir, job_dirs[0], "hlo")
+    assert os.path.isdir(hlo_dir)
+    hlos = sorted(os.listdir(hlo_dir))
+    assert any(h.startswith("flux0") for h in hlos)
+    assert any(h.startswith("restrict0") for h in hlos)
+    assert "HloModule" in open(os.path.join(hlo_dir, hlos[0])).read()
+
     records = collate(jobs_dir)
     assert records
     rows = aggregate(records)
@@ -72,5 +81,16 @@ def test_generate_and_aggregate(tmp_path):
     assert flux_rows[0]["GFLOPs/sec"] > 0
     assert flux_rows[0]["GB/sec"] > 0
     assert flux_rows[0]["Flops/Byte"] > 0
+    # utilization columns exist; 0 on CPU (unknown peak), >0 on TPU
+    assert "pct peak HBM" in flux_rows[0]
+    assert "pct peak FLOPs" in flux_rows[0]
     out = write_combined(str(tmp_path / "combined.csv"), rows)
     assert os.path.getsize(out) > 0
+
+
+def test_device_peaks_lookup():
+    from mgcfd_tpu.bench.aggregate import device_peaks
+    fl, bw = device_peaks("TPU v5 lite")
+    assert fl == 197e12 and bw == 819e9
+    assert device_peaks("TPU v5p")[1] == 2765e9
+    assert device_peaks("cpu") == (0.0, 0.0)
