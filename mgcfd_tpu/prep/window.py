@@ -1,0 +1,271 @@
+"""Windowed-gather flux plan: unstructured meshes at dense-kernel speed.
+
+The shift decomposition collapses on unstructured meshes (tet meshes at
+M6 scale: RCM bandwidth ~9.5K, <40% coverage at 256 spans — measured,
+BASELINE.md), and every XLA indexed path is floored by the gather
+engine's ~6 ns/row. The TPU primitive that breaks that floor is
+`tpu.dynamic_gather` (Pallas `jnp.take_along_axis`): a per-lane dynamic
+gather WITHIN one (8, 128) vreg-tile.
+
+Two chained single-vreg gathers fetch an arbitrary entry of a 1024-node
+window table held in one (8,128) tile per channel (node j at sublane
+j//128 % 8, lane j%128):
+
+    t1[r, l] = table[r, col_idx[r, l]]      (axis=1: pick lane, per row)
+    out[r, l] = t1[row_sel[r, l], l]        (axis=0: pick row, per lane)
+
+out[slot (r,l)] = table[row_want, col_want] holds iff
+col_idx[row_want, l] == col_want — i.e. in every lane-column l of a
+layer, the up-to-8 slots must want 8 DISTINCT table rows. That is a
+bipartite edge-coloring constraint, satisfied at preprocessing by a
+greedy first-fit over per-column bitmasks (Konig: Δ colors suffice for
+bipartite, greedy stays near that).
+
+Node j maps to window j//1024, row j%8, lane (j//8)%128 (interleaved:
+small RCM deltas spread over rows, balancing the coloring).
+
+Plan layout (one owner window = 1024 consecutive RCM node ids):
+  - each internal edge becomes TWO half-edges (owner a with +w, owner b
+    with -w): val(q_owner, q_nbr, ±w) accumulates += into the owner —
+    exact antisymmetry makes both sides identical math;
+  - a LAYER of an owner window is an (8,128) slot grid ALIGNED to the
+    owner nodes (slot (r,l) accumulates to owner node l*8+r): the
+    accumulation is a dense add, no scatter of any kind;
+  - a layer's gather TABLE is assembled from up to S=4 neighbor windows,
+    chosen PER CELL by a streamed 2-bit mask (select chain over the S
+    window tiles). Binding a layer to a single window fragments the
+    packing on RCM band tails (measured lower bounds 27-65 layers/window
+    vs ~10 halves/1024); per-cell selection collapses that;
+  - zero-weight slots are inert (factor and central term both vanish).
+
+Half-edges whose neighbor lies outside the kw-window neighborhood, or
+that exceed the layer cap, spill to the segment-sum path (kept tiny by
+RCM; reported by the plan).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.types import MeshLevel
+
+WIN = 1024          # nodes per window: one (8,128) f32 vreg-tile
+
+
+@dataclasses.dataclass
+class WindowPlan:
+    n_win: int                # number of 1024-node windows
+    kw: int                   # neighborhood width (windows) per owner
+    l_max: int                # layer slots allocated per window
+    n_src: int                # S: windows selectable per layer
+    base_win: np.ndarray      # (n_win,) i32: neighborhood start window
+    own_local: np.ndarray     # (n_win,) i32: owner's offset in [0, kw)
+    layer_count: np.ndarray   # (n_win,) i32: live layers per window
+    layer_wins: np.ndarray    # (n_win, l_max, S) i32: local window offsets
+    wsel: np.ndarray          # (n_win, l_max, 8, 128) i32: cell's source
+    col_idx: np.ndarray       # (n_win, l_max, 8, 128) i32
+    row_sel: np.ndarray       # (n_win, l_max, 8, 128) i32
+    w4: np.ndarray            # (n_win, l_max, 4, 8, 128) f64: w, |w|
+    spill_a: np.ndarray       # overflow internal edges (full edges)
+    spill_b: np.ndarray
+    spill_w: np.ndarray
+    num_half_edges: int
+    num_spilled_edges: int
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.n_win * WIN
+
+    @property
+    def coverage(self) -> float:
+        ne = self.num_half_edges // 2
+        return 1.0 - self.num_spilled_edges / max(1, ne)
+
+    @property
+    def slot_fill(self) -> float:
+        """Fraction of allocated layer slots holding a real half-edge."""
+        live = int(self.layer_count.sum()) * WIN
+        return self.num_half_edges / max(1, live)
+
+
+def build_window_plan(lvl: MeshLevel, kw: int | None = None,
+                      l_cap: int = 64) -> WindowPlan:
+    n = lvl.num_nodes
+    n_win = -(-n // WIN)
+    a = lvl.edge_a.astype(np.int64)
+    b = lvl.edge_b.astype(np.int64)
+    E = a.shape[0]
+
+    if kw is None:
+        # cover the realized window span of most edges TWO-SIDED (the
+        # neighborhood is centred on the owner), clamped for VMEM
+        span = np.abs(a // WIN - b // WIN)
+        need = int(np.percentile(span, 99.5)) + 1 if E else 1
+        kw = int(min(n_win, max(2, min(28, 2 * need + 1))))
+    else:
+        kw = int(min(kw, n_win))
+
+    base_win = np.clip(np.arange(n_win) - (kw - 1) // 2, 0,
+                       max(0, n_win - kw)).astype(np.int32)
+    own_local = (np.arange(n_win) - base_win).astype(np.int32)
+
+    # half-edges: (owner, nbr, edge_id, sign)
+    owner = np.concatenate([a, b])
+    nbr = np.concatenate([b, a])
+    eid = np.concatenate([np.arange(E), np.arange(E)])
+    sign = np.concatenate([np.ones(E), -np.ones(E)])
+
+    ow = owner // WIN
+    gw = nbr // WIN
+    lw = gw - base_win[ow]                       # local window offset
+    in_range = (lw >= 0) & (lw < kw)
+    # spill whole EDGES if either half is out of range (keeps the two
+    # accumulations paired in one path)
+    edge_ok = np.ones(E, bool)
+    edge_ok[eid[~in_range]] = False
+
+    # --- greedy layer assignment (per-column bitmask first-fit) --------
+    # keys: slot (ow_win, layer) x (o_row, o_lane) unique;
+    #        cell (ow_win, layer) x (g_row, o_lane) unique;
+    #        layer bound to (ow_win, lw).
+    # within-window node -> (row, lane) mapping is INTERLEAVED
+    # (row = j % 8, lane = (j // 8) % 128): after RCM most neighbors sit
+    # at small |delta|, and the interleave spreads them over all 8 rows,
+    # keeping the per-(g_row, o_lane) cell demand near-uniform (the
+    # lexicographic j>>7 mapping concentrates small deltas on one row
+    # and blows the layer count ~4x - measured).
+    o_local = owner - ow * WIN
+    o_row = (o_local & 7).astype(np.int64)
+    o_lane = ((o_local >> 3) & 127).astype(np.int64)
+    g_local = nbr - gw * WIN
+    g_row = (g_local & 7).astype(np.int64)
+    g_lane = ((g_local >> 3) & 127).astype(np.int64)
+
+    # Greedy first-fit with O(1) per half-edge: per-key LAYER BITMASKS
+    # (l_cap <= 64 -> one python int per key). A layer may source up to
+    # S windows (per-cell 2-bit select); candidates = layers where the
+    # owner slot is free AND (the cell is free or holds exactly this
+    # neighbor) AND (the nbr window is already in the layer's source set
+    # or the set has room); take the lowest set bit, else open a layer.
+    assert l_cap <= 64
+    S = 4
+    layer_count = np.zeros(n_win, np.int32)
+    layer_wins = np.zeros((n_win, l_cap, S), np.int32)
+    nsrc_used = np.zeros((n_win, l_cap), np.int32)
+    col_idx = np.zeros((n_win, l_cap, 8, 128), np.int32)
+    row_sel = np.zeros((n_win, l_cap, 8, 128), np.int32)
+    wsel = np.zeros((n_win, l_cap, 8, 128), np.int32)
+    w4 = np.zeros((n_win, l_cap, 4, 8, 128))
+
+    slot_mask = [0] * (n_win * WIN)      # key: owner node
+    cell_mask = [0] * (n_win * WIN)      # key: (win, g_row, o_lane)
+    winset_mask: dict = {}               # (wv, lw) -> layers sourcing lw
+    winslot: dict = {}                   # (wv, layer, lw) -> source slot
+    spare_mask = [0] * n_win             # layers with |source set| < S
+    # layers where a cell holds EXACTLY this (window, neighbor):
+    # consecutive RCM nodes share many neighbors, and sharing the cell
+    # halves the layer count (measured)
+    val_mask: dict = {}
+    placement = np.full(owner.shape[0], -1, np.int32)
+    place_src = np.zeros(owner.shape[0], np.int32)
+
+    ew = lvl.edge_w
+    ewt = np.sqrt((ew ** 2).sum(axis=1))
+
+    # process by (owner window, local nbr window) so layers fill densely
+    order = np.lexsort((lw, ow))
+    ow_l = ow.tolist(); lw_l = lw.tolist()
+    orow_l = o_row.tolist(); olane_l = o_lane.tolist()
+    grow_l = g_row.tolist(); glane_l = g_lane.tolist()
+    ok_l = (in_range & edge_ok[eid]).tolist()
+    eid_l = eid.tolist()
+    edge_ok_l = edge_ok.tolist()
+    lc = layer_count
+    for h in order.tolist():
+        if not ok_l[h] or not edge_ok_l[eid_l[h]]:
+            continue
+        wv = ow_l[h]; lwv = lw_l[h]
+        orv = orow_l[h]; olv = olane_l[h]; grv = grow_l[h]
+        sk = wv * WIN + orv * 128 + olv
+        ck = wv * WIN + grv * 128 + olv
+        vk = (ck << 12) | (lwv << 7) | glane_l[h]
+        wk = wv * kw + lwv
+        have_win = winset_mask.get(wk, 0)
+        free = ~slot_mask[sk] & (have_win | spare_mask[wv])
+        cand = free & (~cell_mask[ck] | val_mask.get(vk, 0))
+        if cand:
+            layer = (cand & -cand).bit_length() - 1
+        else:
+            layer = int(lc[wv])
+            if layer >= l_cap:
+                edge_ok_l[eid_l[h]] = False
+                continue
+            lc[wv] = layer + 1
+            spare_mask[wv] |= 1 << layer
+        bit = 1 << layer
+        src = winslot.get((wv, layer, lwv))
+        if src is None:
+            src = int(nsrc_used[wv, layer])
+            winslot[(wv, layer, lwv)] = src
+            layer_wins[wv, layer, src] = lwv
+            nsrc_used[wv, layer] = src + 1
+            winset_mask[wk] = winset_mask.get(wk, 0) | bit
+            if src + 1 == S:
+                spare_mask[wv] &= ~bit
+        slot_mask[sk] |= bit
+        cell_mask[ck] |= bit
+        val_mask[vk] = val_mask.get(vk, 0) | bit
+        placement[h] = layer
+        place_src[h] = src
+
+    edge_ok = np.asarray(edge_ok_l, bool)
+    placed = (placement >= 0) & edge_ok[eid]
+    hp = np.flatnonzero(placed)
+    lay = placement[hp]
+    # vectorized fills (placement layers are conflict-free by the masks)
+    col_idx[ow[hp], lay, g_row[hp], o_lane[hp]] = g_lane[hp]
+    wsel[ow[hp], lay, g_row[hp], o_lane[hp]] = place_src[hp]
+    row_sel[ow[hp], lay, o_row[hp], o_lane[hp]] = g_row[hp]
+    w4[ow[hp], lay, 0, o_row[hp], o_lane[hp]] = sign[hp] * ew[eid[hp], 0]
+    w4[ow[hp], lay, 1, o_row[hp], o_lane[hp]] = sign[hp] * ew[eid[hp], 1]
+    w4[ow[hp], lay, 2, o_row[hp], o_lane[hp]] = sign[hp] * ew[eid[hp], 2]
+    w4[ow[hp], lay, 3, o_row[hp], o_lane[hp]] = ewt[eid[hp]]
+
+    l_max = max(1, int(layer_count.max()))
+    spill = ~edge_ok
+    return WindowPlan(
+        n_win=n_win, kw=kw, l_max=l_max, n_src=S,
+        base_win=base_win, own_local=own_local,
+        layer_count=layer_count,
+        layer_wins=layer_wins[:, :l_max],
+        wsel=wsel[:, :l_max],
+        col_idx=col_idx[:, :l_max],
+        row_sel=row_sel[:, :l_max],
+        w4=w4[:, :l_max],
+        spill_a=lvl.edge_a[spill].astype(np.int32),
+        spill_b=lvl.edge_b[spill].astype(np.int32),
+        spill_w=lvl.edge_w[spill],
+        num_half_edges=int((edge_ok[eid] & in_range).sum()),
+        num_spilled_edges=int(spill.sum()))
+
+
+def reconstruct_half_edges(plan: WindowPlan):
+    """Invert the plan back to (owner, nbr, w3) half-edge lists — the
+    correctness oracle for tests. Inert (zero-weight) slots excluded."""
+    outs = []
+    for wv in range(plan.n_win):
+        for layer in range(int(plan.layer_count[wv])):
+            w = plan.w4[wv, layer]
+            live = np.abs(w[:3]).sum(axis=0) > 0
+            orr, oll = np.nonzero(live)
+            for r, l in zip(orr, oll):
+                gr = plan.row_sel[wv, layer, r, l]
+                gl = plan.col_idx[wv, layer, gr, l]
+                src = plan.wsel[wv, layer, gr, l]
+                gwin = plan.base_win[wv] + plan.layer_wins[wv, layer, src]
+                owner = wv * WIN + l * 8 + r
+                nbrn = gwin * WIN + gl * 8 + gr
+                outs.append((owner, nbrn, w[0, r, l], w[1, r, l],
+                             w[2, r, l]))
+    return outs
