@@ -100,7 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run on a generated box mesh instead of -i")
     p.add_argument("--accumulate", default=None,
                    choices=["segment", "scatter", "ell", "shift",
-                            "pallas"])
+                            "pallas", "window"])
+    p.add_argument("--renumber", action="store_true",
+                   help="RCM-renumber the mesh hierarchy before solving "
+                        "(prep/renumber.py): imported unstructured "
+                        "meshes arrive in arbitrary order and the fast "
+                        "paths depend on locality. NOTE: dumps and "
+                        "validation then use the renumbered node order.")
     # kernel variants (reference compile-time macros as runtime switches)
     p.add_argument("--flux-cripple", action="store_true",
                    help="also run the arithmetic-free flux twin "
@@ -208,6 +214,9 @@ def main(argv=None) -> int:
         mesh = load_multigrid_mesh(path, cfg.input_file_directory)
     if cfg.mesh_duplicate_count > 1:
         mesh = duplicate_mesh(mesh, cfg.mesh_duplicate_count)
+    if args.renumber:
+        from ..prep.renumber import renumber_hierarchy
+        mesh = renumber_hierarchy(mesh)
 
     # --- run ---
     t0 = time.time()

@@ -117,7 +117,7 @@ class PallasWindowFlux:
     """
 
     def __init__(self, plan: WindowPlan, num_nodes: int, dtype=jnp.float32,
-                 interpret: bool = False, rw: bool = False):
+                 interpret: bool = False, rw: bool = False, arrays=None):
         self.plan = plan
         self.num_nodes = num_nodes
         self.padded = plan.padded_nodes
@@ -128,8 +128,9 @@ class PallasWindowFlux:
         # kept as a dict so callers pass them through jit as ARGUMENTS —
         # closure-embedding ~450 MB of plan constants into the HLO blows
         # the serialized module (this env's remote compiler rejects large
-        # bodies with HTTP 413) and slows every compile
-        self.arrays = {
+        # bodies with HTTP 413) and slows every compile. Pass `arrays`
+        # to share one device copy between the flux and rw variants.
+        self.arrays = arrays if arrays is not None else {
             "base": jnp.asarray(f(plan.base_win), jnp.int32),
             "nl": jnp.asarray(f(plan.layer_count), jnp.int32),
             "lwins": jnp.asarray(f(plan.layer_wins), jnp.int32),

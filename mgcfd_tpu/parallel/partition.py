@@ -80,6 +80,10 @@ class ShardedLevelData:
     # stream (replaced by degenerate padding) and live in dense diagonals
     shift_deltas: list | None = None       # [d0, d1, ...]
     shift_w: np.ndarray | None = None      # (P, D, B, 3) dense weights
+    shift_wpad: np.ndarray | None = None   # (P, 4, D*B) rolled-kernel form
+    # (rows 0:3 span-major zero-padded weights, row 3 |w|; see
+    # ops.tops.t_shift_flux_rolled — the sharded visit runs the same
+    # batched-roll single-pass flux as the single-chip transposed solver)
     # dense per-node boundary/wall aggregates (see ops.tops
     # t_dense_boundary_wall_flux): all faces of a node collapse into one
     # aggregated normal because both fluxes read only the node's state
@@ -154,6 +158,15 @@ def partition_level(lvl: MeshLevel, P: int,
         keep = np.array(keep, dtype=np.int64)
         shift_w[owner[keep], di, local(ea[keep])] = lvl.edge_w[keep]
         covered[keep] = True
+    shift_wpad = None
+    if deltas:
+        D = len(deltas)
+        shift_wpad = np.zeros((P, 4, D * B))
+        for di in range(D):
+            shift_wpad[:, :3, di * B:(di + 1) * B] = \
+                shift_w[:, di].transpose(0, 2, 1)
+            shift_wpad[:, 3, di * B:(di + 1) * B] = np.sqrt(
+                (shift_w[:, di] ** 2).sum(axis=2))
 
     # --- separator sets: nodes referenced by edges owned elsewhere ---
     sep_sets = [set() for _ in range(P)]
@@ -252,7 +265,7 @@ def partition_level(lvl: MeshLevel, P: int,
         bedge_b=bedge_b, bedge_w=bedge_w, wedge_b=wedge_b, wedge_w=wedge_w,
         sep_idx=sep_idx, sep_mask=sep_mask,
         mg_mapping=None, mg_counts=None, mg_mapped=None, coincident=None,
-        shift_deltas=deltas, shift_w=shift_w,
+        shift_deltas=deltas, shift_w=shift_w, shift_wpad=shift_wpad,
         pro_dest_a=pro_dest_a, pro_dest_b=pro_dest_b,
         num_nodes=n, block=B, smax=smax)
 

@@ -28,11 +28,9 @@ from ..core.constants import RK, NVAR, far_field_state
 from ..core.types import MultigridMesh
 from ..mesh.build import apply_ewt_conditioning
 from ..ops import (
-    internal_edge_flux, boundary_edge_flux, wall_edge_flux,
-    compute_step_factor_legacy, time_step, residual,
+    internal_edge_flux, boundary_edge_flux, wall_edge_flux, residual,
     invalid_variables_count, mg_restrict, prolong_residuals_interpolate,
 )
-from ..ops.physics import primitive_quantities
 from ..solver.solver import prepare_device_mesh, _visit
 from .partition import partition_mesh, ShardedMeshData
 
@@ -42,16 +40,25 @@ AXIS = "x"
 def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
                    config):
     """One smoothing pass on the sharded finest level.
-    variables: (B, NVAR) block. Returns (variables, old, res, invalid)."""
+    variables: (B, NVAR) block at rest; the RK loop runs VARIABLE-MAJOR
+    internally (ops/tops) with the batched-roll shift flux when a plan
+    exists — the same production formulation as the single-chip
+    transposed solver (parity per VERDICT r01 #7). The indexed
+    cross-shard/spill stream stays node-major (it feeds the halo
+    collectives); layout conversions are per-(B,5) block and fuse.
+    Returns (variables, old, res, sf-free invalid, rw_token)."""
+    from ..ops import tops
+
     volumes = const["volumes"]
     node_mask = const["node_mask"]
     old = variables
 
+    q = variables.T                                     # (5, B)
+    prim = tops.t_primitives(q)
     if legacy:
-        sf = compute_step_factor_legacy(variables, volumes)
+        sf = 0.5 / (jnp.sqrt(volumes) * (prim["speed"] + prim["sos"]))
     else:
-        p = primitive_quantities(variables)
-        dt = 0.5 * jnp.cbrt(volumes) / (p["speed"] + p["sos"])
+        dt = 0.5 * jnp.cbrt(volumes) / (prim["speed"] + prim["sos"])
         dt = jnp.where(node_mask > 0, dt, jnp.inf)
         min_dt = jax.lax.pmin(jnp.min(dt), AXIS)
         sf = min_dt / volumes
@@ -60,6 +67,7 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
     rw_token = jnp.zeros((), variables.dtype)
     B = variables.shape[0]
     pool_sz = sd.P * sd.smax
+    old_t = q
 
     def exchange(v):
         """halo in: gather own separator values, all_gather the pool."""
@@ -68,11 +76,12 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
         return jnp.concatenate([v, pool.reshape(pool_sz, NVAR)], axis=0)
 
     use_shift = (config.accumulate == "shift"
-                 and const.get("shift_w") is not None
+                 and const.get("shift_wpad") is not None
                  and len(sd.shift_deltas) > 0)
 
     for j in range(RK):
-        combined = exchange(variables)
+        v_nm = q.T
+        combined = exchange(v_nm)
         q_a = combined[const["edge_a"]]
         q_b = combined[const["edge_b"]]
         if config.flux_cripple:
@@ -87,25 +96,22 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
         seg = jax.ops.segment_sum(vals, dest, num_segments=B + pool_sz)
         flux = seg[:B]
         if use_shift:
-            # dense per-span diagonals over the shard-local block
-            for di, d in enumerate(sd.shift_deltas):
-                sval = internal_edge_flux(
-                    variables[:B - d], variables[d:],
-                    const["shift_w"][di, :B - d])
-                flux = flux.at[:B - d].add(sval)
-                flux = flux.at[d:].add(-sval)
+            # batched-roll single-pass dense diagonals over the block
+            # (tops.t_shift_flux_rolled; wrap lanes carry zero weights —
+            # the partitioner only covers edges with local_a + d < B)
+            flux = flux + tops.t_shift_flux_rolled(
+                sd.shift_deltas, const["shift_wpad"], q).T
         if "dense_bd" in const:
-            # dense aggregated boundary/wall (ops.tops semantics,
-            # node-major orientation)
+            # dense aggregated boundary/wall (ops.tops semantics)
             from ..ops.tops import t_dense_boundary_wall_flux
             bw = t_dense_boundary_wall_flux(
-                variables.T, const["dense_bd"].T, const["dense_wl"].T,
+                q, const["dense_bd"].T, const["dense_wl"].T,
                 const["dense_wlc"].T)
             flux = flux + bw.T
         else:
-            val_bd = boundary_edge_flux(variables[const["bedge_b"]],
+            val_bd = boundary_edge_flux(v_nm[const["bedge_b"]],
                                         const["bedge_w"])
-            val_w = wall_edge_flux(variables[const["wedge_b"]],
+            val_w = wall_edge_flux(v_nm[const["wedge_b"]],
                                    const["wedge_w"], ff_flux)
             flux = flux + jax.ops.segment_sum(val_bd, const["bedge_b"],
                                               num_segments=B)
@@ -118,16 +124,16 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
         flux = flux.at[const["sep_idx"]].add(
             recv * const["sep_mask"][:, None])
 
-        variables = time_step(j, sf, fluxes=flux, old_variables=old)
+        q = tops.t_time_step(j, sf, flux.T, old_t)
         invalid = invalid + invalid_variables_count(
-            variables * node_mask[:, None])
+            q.T * node_mask[:, None])
 
         if config.include_indirect_rw:
             # the data-movement twin, with the same halo traffic; its
             # accumulation is reduced to a token (writes discarded, as in
             # the reference's zero_fluxes after indirect_rw)
             from ..ops import indirect_rw_edge_values
-            comb2 = exchange(variables)
+            comb2 = exchange(q.T)
             va, vb = indirect_rw_edge_values(comb2[const["edge_a"]],
                                              comb2[const["edge_b"]],
                                              const["edge_w"])
@@ -139,7 +145,14 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
                 scatter_dimension=0)
             rw_token = rw_token + jnp.sum(seg[:B]) + jnp.sum(
                 recv * const["sep_mask"][:, None])
+            if use_shift:
+                # rolled-form twin over the dense diagonals (same traffic,
+                # near-zero flops; tops.t_shift_rw_rolled)
+                rw_token = rw_token + jnp.sum(tops.t_shift_rw_rolled(
+                    sd.shift_deltas, const["shift_wpad"], q)) * jnp.zeros(
+                    (), variables.dtype)
 
+    variables = q.T
     res = residual(old, variables)
     return variables, old, res, jax.lax.psum(invalid, AXIS), rw_token
 
@@ -226,7 +239,7 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
         "wedge_w": to_dev(sd.wedge_w),
     }
     if sd.shift_deltas:
-        sharded_const["shift_w"] = to_dev(sd.shift_w)
+        sharded_const["shift_wpad"] = to_dev(sd.shift_wpad)
     if sd.dense_bd is not None:
         sharded_const["dense_bd"] = to_dev(sd.dense_bd)
         sharded_const["dense_wl"] = to_dev(sd.dense_wl)
@@ -401,6 +414,43 @@ class ShardedSolver:
             if verbose:
                 print(f"MG cycle {i + 1} / {cycles} "
                       f"(RMS = {float(rms):.3e})")
+        return self.state
+
+    def run_batched(self, cycles: int, cycles_per_dispatch: int = 10,
+                    verbose: bool = False):
+        """K sharded V-cycles per device dispatch (lax.scan around the
+        shard_map'd cycle inside one jit) — the multi-chip twin of
+        MGCFDSolver.run_batched: amortises per-execution overhead and
+        keeps the whole batch on-device between host syncs."""
+        k = max(1, min(cycles_per_dispatch, cycles))
+        if getattr(self, "_multi_k", None) != k:
+            cycle = self._cycle
+
+            @jax.jit
+            def multi(state):
+                def body(s, _):
+                    s2, rms, inv = cycle(s)
+                    return s2, (rms, inv)
+                return jax.lax.scan(body, state, None, length=k)
+
+            self._multi = multi
+            self._multi_k = k
+        done = 0
+        while done < cycles:
+            if cycles - done < k:
+                self.run(cycles - done, verbose=verbose)
+                return self.state
+            self.state, (rms, invalid) = self._multi(self.state)
+            done += k
+            inv = int(invalid.sum())
+            if inv > 0:
+                raise FloatingPointError(
+                    f"invalid state within sharded cycles "
+                    f"{done - k + 1}..{done}: {inv}")
+            self.rms_history.extend(float(x) for x in np.asarray(rms))
+            if verbose:
+                print(f"MG cycle {done} / {cycles} "
+                      f"(RMS = {self.rms_history[-1]:.3e})")
         return self.state
 
     def variables(self, level: int = 0) -> np.ndarray:

@@ -66,6 +66,9 @@ class DeviceLevel:
     dense_bw_t: Optional[Any] = None  # (bd_normal, wall_normal, wall_const)
     pallas_flux: Optional[Any] = None  # PallasShiftFlux kernel
     pallas_rw: Optional[Any] = None   # indirect_rw twin kernel
+    window_flux: Optional[Any] = None  # PallasWindowFlux (unstructured)
+    window_rw: Optional[Any] = None    # its indirect_rw twin
+    window_arrays: Optional[Any] = None  # plan arrays (travel as jit args)
 
 
 @dataclasses.dataclass
@@ -114,6 +117,32 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
         pallas_rw = None
         dense_bw_t = None
         pallas_flux = None
+        window_flux = None
+        window_rw = None
+        window_arrays = None
+        if config.accumulate == "window":
+            # windowed-gather path (prep/window.py): arbitrary meshes,
+            # incl. genuinely unstructured ones where the shift plan
+            # collapses. Spill edges ride the generic spill segment-sum.
+            from ..prep.window import build_window_plan
+            from ..pallas.flux_window import PallasWindowFlux
+            wplan = build_window_plan(l)
+            interp = jax.default_backend() == "cpu"
+            window_flux = PallasWindowFlux(wplan, l.num_nodes,
+                                           dtype=dtype, interpret=interp)
+            window_arrays = window_flux.arrays
+            if config.include_indirect_rw:
+                window_rw = PallasWindowFlux(
+                    wplan, l.num_nodes, dtype=dtype, interpret=interp,
+                    rw=True, arrays=window_arrays)
+            shift = ([], [], (put(wplan.spill_a, jnp.int32),
+                              put(wplan.spill_b, jnp.int32),
+                              put(wplan.spill_w)))
+            from ..ops.tops import build_dense_boundary_wall
+            bdn, wln, wlc = build_dense_boundary_wall(
+                l.num_nodes, l.bedge_b, l.bedge_w, l.wedge_b, l.wedge_w,
+                far_field_state(np.float64)[1])
+            dense_bw_t = (put(bdn), put(wln), put(wlc))
         if config.accumulate in ("shift", "pallas"):
             from ..prep.shift import build_shift_plan
             plan = build_shift_plan(l)
@@ -150,12 +179,13 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
             dense_bw_t = (put(bdn), put(wln), put(wlc))
         num_lanes = l.num_nodes
         vol_host = l.volumes
-        if pallas_flux is not None and pallas_flux.padded != l.num_nodes:
+        pad_kernel = pallas_flux if pallas_flux is not None else window_flux
+        if pad_kernel is not None and pad_kernel.padded != l.num_nodes:
             # lane-padded state (see DeviceLevel.num_lanes): tail volumes
             # are huge so the tail's local dt never wins the global min
             # (cfd_loops.cpp:137-150 analogue); tail aggregate normals
             # are zero so the dense boundary/wall flux vanishes there
-            num_lanes = pallas_flux.padded
+            num_lanes = pad_kernel.padded
             tail = num_lanes - l.num_nodes
             vol_host = np.concatenate([l.volumes, np.full(tail, 1e30)])
             bdn, wln, wlc = (np.concatenate(
@@ -165,7 +195,8 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
         dlevels.append(DeviceLevel(
             ell=ell, shift=shift, shift_wpad_t=shift_wpad_t,
             dense_bw_t=dense_bw_t, pallas_flux=pallas_flux,
-            pallas_rw=pallas_rw,
+            pallas_rw=pallas_rw, window_flux=window_flux,
+            window_rw=window_rw, window_arrays=window_arrays,
             num_lanes=num_lanes,
             volumes=put(vol_host),
             coords=None if l.coords is None else put(l.coords),
@@ -300,7 +331,8 @@ def _visit(lvl: DeviceLevel, variables, ff_flux, config,
     step_factors, invalid_count, rw_token). Reference inner loop:
     euler3d_cpu_double.cpp:383-512."""
     if lvl.shift is not None and (config.transposed
-                                  or config.accumulate == "pallas"):
+                                  or config.accumulate in ("pallas",
+                                                           "window")):
         return _visit_transposed(lvl, variables, ff_flux, config,
                                  legacy_step, io_transposed)
     assert not io_transposed
@@ -354,7 +386,9 @@ def t_compute_fluxes(lvl: DeviceLevel, q, ff_flux, config):
 
     deltas, weights, (sa, sb, sw) = lvl.shift
     nl = q.shape[1]
-    if config.accumulate == "pallas" and lvl.pallas_flux is not None:
+    if config.accumulate == "window" and lvl.window_flux is not None:
+        flux = lvl.window_flux(q, arrays=lvl.window_arrays)
+    elif config.accumulate == "pallas" and lvl.pallas_flux is not None:
         flux = lvl.pallas_flux(q)
     elif lvl.shift_wpad_t is not None:
         flux = tops.t_shift_flux_rolled(deltas, lvl.shift_wpad_t, q)
@@ -391,7 +425,9 @@ def t_indirect_rw(lvl: DeviceLevel, q, config):
     from ..ops import tops
 
     deltas, weights, (sa, sb, sw) = lvl.shift
-    if config.accumulate == "pallas" and lvl.pallas_rw is not None:
+    if config.accumulate == "window" and lvl.window_rw is not None:
+        rw = lvl.window_rw(q, arrays=lvl.window_arrays)
+    elif config.accumulate == "pallas" and lvl.pallas_rw is not None:
         rw = lvl.pallas_rw(q)
     elif lvl.shift_wpad_t is not None:
         rw = tops.t_shift_rw_rolled(deltas, lvl.shift_wpad_t, q)
@@ -530,8 +566,10 @@ def lane_writeback(full, new_real, old_real, tstate: bool):
 
 def state_is_transposed(dmesh: DeviceMesh, config: SolverConfig) -> bool:
     """Whole-cycle variable-major state: every level must have a shift
-    plan (the transposed visit requires one)."""
-    return ((config.transposed or config.accumulate == "pallas")
+    plan (the transposed visit requires one; window mode sets an empty
+    one whose spill list carries its overflow edges)."""
+    return ((config.transposed
+             or config.accumulate in ("pallas", "window"))
             and all(l.shift is not None for l in dmesh.levels))
 
 

@@ -98,3 +98,39 @@ def test_partition_covers_all_edges():
 def test_dryrun_entrypoint():
     from mgcfd_tpu.parallel import dryrun
     dryrun(min(8, NDEV))
+
+
+@pytest.mark.skipif(NDEV < 8, reason="needs 8 virtual devices")
+def test_sharded_run_batched_matches_run():
+    """lax.scan multi-cycle dispatch == cycle-at-a-time, bitwise."""
+    mesh = generate_multigrid_box(8, 8, 8, 2, h=(0.1, 0.1, 0.1))
+    a = ShardedSolver(mesh, SolverConfig(dtype="float64",
+                                         num_partitions=8,
+                                         accumulate="shift"))
+    a.run(cycles=4)
+    b = ShardedSolver(mesh, SolverConfig(dtype="float64",
+                                         num_partitions=8,
+                                         accumulate="shift"))
+    b.run_batched(cycles=4, cycles_per_dispatch=2)
+    np.testing.assert_array_equal(a.variables(0), b.variables(0))
+    np.testing.assert_allclose(a.rms_history, b.rms_history, rtol=0,
+                               atol=0)
+
+
+@pytest.mark.skipif(NDEV < 8, reason="needs 8 virtual devices")
+def test_sharded_rolled_shift_uses_wpad():
+    """The sharded visit runs the batched-roll flux (single-chip parity):
+    the partitioner emits the rolled-form weights and the result still
+    matches the single-chip solver."""
+    mesh = generate_multigrid_box(10, 8, 8, 2, h=(0.1, 0.1, 0.1))
+    sm = partition_mesh(mesh, 4, use_shift=True)
+    assert sm.level0.shift_wpad is not None
+    assert sm.level0.shift_wpad.shape[1] == 4
+    ref = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    ref.run(cycles=3)
+    sh = ShardedSolver(mesh, SolverConfig(dtype="float64",
+                                          num_partitions=4,
+                                          accumulate="shift"))
+    sh.run(cycles=3)
+    np.testing.assert_allclose(sh.variables(0), ref.variables(0),
+                               rtol=1e-10, atol=1e-14)

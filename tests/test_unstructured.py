@@ -71,11 +71,13 @@ def test_renumbering_is_solution_permutation(tet_mesh):
 
 def test_accumulate_modes_agree_on_tet(tet_mesh):
     """The general-mesh accumulate strategies must agree on a spill-heavy
-    unstructured mesh (shift plans here cover only a fraction of edges)."""
+    unstructured mesh (shift plans here cover only a fraction of edges).
+    'window' is the windowed-gather Pallas path (interpret-mode on CPU)
+    running the full transposed V-cycle."""
     from mgcfd_tpu.prep.renumber import renumber_hierarchy
     rn = renumber_hierarchy(tet_mesh)
     ref = None
-    for acc in ("segment", "ell", "shift"):
+    for acc in ("segment", "ell", "shift", "window"):
         s = MGCFDSolver(rn, SolverConfig(dtype="float64", accumulate=acc,
                                          include_indirect_rw=False))
         s.run(2)
@@ -85,6 +87,19 @@ def test_accumulate_modes_agree_on_tet(tet_mesh):
         else:
             np.testing.assert_allclose(v, ref, rtol=1e-11, atol=1e-14,
                                        err_msg=acc)
+
+
+def test_window_mode_with_rw_twin_side_effect_free(tet_mesh):
+    """The windowed indirect_rw twin must not change the solution."""
+    from mgcfd_tpu.prep.renumber import renumber_hierarchy
+    rn = renumber_hierarchy(tet_mesh)
+    a = MGCFDSolver(rn, SolverConfig(dtype="float64", accumulate="window",
+                                     include_indirect_rw=False))
+    a.run(2)
+    b = MGCFDSolver(rn, SolverConfig(dtype="float64", accumulate="window",
+                                     include_indirect_rw=True))
+    b.run(2)
+    np.testing.assert_array_equal(a.variables(0), b.variables(0))
 
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
