@@ -63,6 +63,79 @@ def _time(fn, *args, reps=30):
     return (time.perf_counter() - t0) / reps
 
 
+# Reference binary on the unstructured tet-flagship hierarchy (305K
+# nodes / 2.28M edges finest; .golden/benchtet, BASELINE.md round 2):
+# flux0 = 34,181,685 edge-iters / 2.105 s; V-cycle excl. the rw twin
+# 4.641 s / 5. The CPU degrades on unstructured (16.2M vs 38.7M
+# edges/s) — its gathers cache-miss too.
+CPU_TET_FLUX_EDGES_PER_SEC = 16.2e6
+CPU_TET_VCYCLE_SEC = 0.9281
+
+
+def _tet_metrics():
+    """Secondary headline: the windowed-gather path on a genuinely
+    unstructured tet mesh at M6 scale (the reference's real workload
+    shape). Cached dataset; regenerated if absent."""
+    import os
+    import pickle
+    out = {"tet_flux_edges_per_sec": None, "tet_vcycle_wall_time_sec": None,
+           "tet_flux_vs_cpu": None, "tet_vcycle_vs_cpu": None}
+    try:
+        import jax.numpy as jnp
+        cache = ".golden/benchtet/mesh.pkl"
+        if os.path.exists(cache):
+            mesh = pickle.load(open(cache, "rb"))
+        else:
+            from mgcfd_tpu.mesh.unstructured import \
+                generate_unstructured_hierarchy
+            from mgcfd_tpu.prep.renumber import renumber_hierarchy
+            mesh = renumber_hierarchy(
+                generate_unstructured_hierarchy(68, 64, 70, 4, seed=1))
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            pickle.dump(mesh, open(cache, "wb"))
+        E = mesh.levels[0].num_internal_edges
+
+        cfg = SolverConfig(dtype="float32", accumulate="window",
+                           include_indirect_rw=False)
+        s = MGCFDSolver(mesh, cfg)
+        s.config.check_invalid_every = 10 ** 9
+
+        # flux kernel, slope-timed with a chained dependency (identical
+        # re-executions through the tunnel report fake times)
+        lvl0 = s.dmesh.levels[0]
+        wf, arrs = lvl0.window_flux, lvl0.window_arrays
+        f = jax.jit(lambda v, a: wf(v, a))
+        q = s.state["variables"][0]
+
+        def chain(k):
+            x = q
+            t0 = time.perf_counter()
+            for _ in range(k):
+                x = x + f(x, arrs) * jnp.float32(1e-12)
+            jax.block_until_ready(x)
+            return time.perf_counter() - t0
+        chain(2)
+        dt = (chain(22) - chain(2)) / 20
+        out["tet_flux_edges_per_sec"] = round(E / dt, 1)
+        out["tet_flux_vs_cpu"] = round(E / dt
+                                       / CPU_TET_FLUX_EDGES_PER_SEC, 3)
+
+        s.run_batched(5, 5)              # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            s.run_batched(10, 10)
+            jax.block_until_ready(s.state["variables"][0])
+            best = min(best, (time.perf_counter() - t0) / 10)
+        out["tet_vcycle_wall_time_sec"] = round(best, 6)
+        out["tet_vcycle_vs_cpu"] = round(CPU_TET_VCYCLE_SEC / best, 3)
+    except Exception as e:  # the secondary metric must not kill the bench
+        import sys
+        print(f"bench: tet metrics failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+    return out
+
+
 def main():
     _wait_for_device()
     mesh = flagship_mesh()
@@ -170,6 +243,8 @@ def main():
         print(f"bench: rw-twin cycle failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
 
+    tet = _tet_metrics()
+
     print(json.dumps({
         "metric": "compute_flux_edges_per_sec",
         "value": round(edges_per_sec, 1),
@@ -190,6 +265,7 @@ def main():
             None if rw_cycle_time is None
             else round(CPU_BASELINE_VCYCLE_WITH_RW_SEC / rw_cycle_time,
                        3)),
+        **tet,
         "device": str(jax.devices()[0]),
         "dtype": "float32",
         "mesh": f"{FLAGSHIP_SPEC.nx}x{FLAGSHIP_SPEC.ny}x{FLAGSHIP_SPEC.nz}"

@@ -53,7 +53,7 @@ from ..ops import (
 from ..ops.tops import t_time_step
 from ..solver.solver import (
     prepare_device_mesh, state_is_transposed, real_view, lane_writeback,
-    apply_restrict, apply_prolong, t_step_factor, t_compute_fluxes,
+    apply_restrict, apply_prolong_padded, t_step_factor, t_compute_fluxes,
     t_indirect_rw, t_invalid_count, _compute_fluxes,
 )
 
@@ -187,12 +187,7 @@ class InstrumentedSolver:
                     return lane_writeback(vc, new_c, coarse_r, ts)
 
                 def prolong(rc, rf, vf, lvl=lvl, nxt=nxt):
-                    res_c = real_view(rc, nxt, ts)
-                    res_f = real_view(rf, lvl, ts)
-                    vars_f = real_view(vf, lvl, ts)
-                    new_f = apply_prolong(lvl, nxt, res_c, res_f,
-                                          vars_f, ts)
-                    return lane_writeback(vf, new_f, vars_f, ts)
+                    return apply_prolong_padded(lvl, nxt, rc, rf, vf, ts)
 
                 self.k[("restrict", l)] = jax.jit(restrict)
                 self.k[("prolong", l)] = jax.jit(prolong)

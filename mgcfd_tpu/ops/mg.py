@@ -45,7 +45,12 @@ def mg_restrict_gather(vars_fine, vars_coarse, children, child_mask,
 
     children: (Nc, Cmax) fine ids (0 where padded); child_mask: (Nc, Cmax)
     1/0; mapped: (Nc,) bool (count>0)."""
-    gathered = vars_fine[children]                       # (Nc, Cmax, 5)
+    # flat 1D row-gather + reshape: a (Nc, Cmax)-indexed gather lowers to
+    # XLA's strided multi-axis form at ~6 GB/s on TPU; the flat form runs
+    # at the gather engine's full row rate (found by xprof, BASELINE.md)
+    nc, cmax = children.shape
+    gathered = vars_fine[children.reshape(-1)].reshape(
+        nc, cmax, vars_fine.shape[1])                    # (Nc, Cmax, 5)
     sums = jnp.einsum("ncv,nc->nv", gathered,
                       child_mask.astype(vars_fine.dtype))
     counts = jnp.sum(child_mask, axis=1).astype(vars_fine.dtype)
@@ -444,8 +449,12 @@ def _prolong_spill(res_coarse, g):
         [val_a, val_b, jnp.zeros((1, val_a.shape[1]), dt)], axis=0)
     stream_w = jnp.concatenate([w_a, w_b, jnp.zeros((1,), dt)], axis=0)
     mask = g["mask"].astype(dt)
-    acc = jnp.einsum("ndv,nd->nv", stream_v[g["slots"]], mask)
-    wsum = jnp.einsum("nd,nd->n", stream_w[g["slots"]], mask)
+    n, d = g["slots"].shape
+    flat = g["slots"].reshape(-1)            # 1D-index gathers: see
+    sv = stream_v[flat].reshape(n, d, -1)    # mg_restrict_gather note
+    sw = stream_w[flat].reshape(n, d)
+    acc = jnp.einsum("ndv,nd->nv", sv, mask)
+    wsum = jnp.einsum("nd,nd->n", sw, mask)
     return acc, wsum
 
 
@@ -467,8 +476,10 @@ def prolong_gather(res_coarse, res_fine, vars_fine, g):
     stream_w = jnp.concatenate(
         [w_a, w_b, jnp.zeros((1,), dt)], axis=0)
     mask = g["mask"].astype(dt)
-    acc = jnp.einsum("ndv,nd->nv", stream_v[g["slots"]], mask)
-    wsum = jnp.einsum("nd,nd->n", stream_w[g["slots"]], mask)
+    n, d = g["slots"].shape
+    flat = g["slots"].reshape(-1)
+    acc = jnp.einsum("ndv,nd->nv", stream_v[flat].reshape(n, d, -1), mask)
+    wsum = jnp.einsum("nd,nd->n", stream_w[flat].reshape(n, d), mask)
 
     safe_w = jnp.where(wsum > 0, wsum, jnp.ones_like(wsum))
     wavg = jnp.where(g["coincident"][:, None], res_coarse[g["parent"]],

@@ -62,33 +62,46 @@ def _flux_math(qo, qn, w0, w1, w2, wt):
     return v0, v1, v2, v3, v4
 
 
-def _rw_math(qo, qn, w0, w1, w2, wt):
+def _rw_math(qo, qn, w):
     """indirect_rw twin: same slicing/gather traffic, near-zero flops
     (indirect_rw_kernel.elemfunc.c:42-55)."""
     vals = []
     for co, cn in zip(qo[:5], qn[:5]):
-        vals.append(co + cn + w0 + w1 + w2)
+        vals.append(co + cn + w[0] + w[1] + w[2])
     return tuple(vals)
 
 
-def _window_kernel(S, l_max, rw,
+def _wsum_math(qo, qn, w):
+    """Weighted neighbor sum: acc[owner] += w0 * G[nbr] per channel —
+    the windowed prolongation's only non-dense term (ops/mg.py:
+    apply side; rc[b1] == G[b2] because b1 = mapping[b2])."""
+    del qo
+    return tuple(w[0] * cn for cn in qn)
+
+
+_MATH = {"flux": (8, lambda qo, qn, w: _flux_math(qo, qn, w[0], w[1],
+                                                  w[2], w[3])),
+         "rw": (8, _rw_math),
+         "wsum": (5, _wsum_math)}
+
+
+def _window_kernel(S, l_max, nch, math, nw,
                    base_ref, nl_ref,           # scalar prefetch
-                   x_ref,                      # (n_win, NCH, 8, 128)
+                   x_ref,                      # (n_win, nch, 8, 128)
                    lwins_ref,                  # (1, l_max, S) i32
                    wsel_ref, ci_ref, rs_ref,   # (1, l_max, 8, 128) i32
-                   w_ref,                      # (1, l_max, 4, 8, 128)
+                   w_ref,                      # (1, l_max, K, 8, 128)
                    o_ref):                     # (1, 5, 8, 128)
     w = pl.program_id(0)
     base = base_ref[w]
-    qo = [x_ref[w, ch] for ch in range(NCH)]
-    math = _rw_math if rw else _flux_math
+    qo = [x_ref[w, ch] for ch in range(nch)]
 
     def body(l, acc):
         sel = wsel_ref[0, l]
         ci = ci_ref[0, l]
         rs = rs_ref[0, l]
         qn = []
-        for ch in range(NCH):
+        for ch in range(nch):
             t1 = jnp.take_along_axis(
                 x_ref[base + lwins_ref[0, l, 0], ch], ci, axis=1)
             for s in range(1, S):
@@ -96,8 +109,7 @@ def _window_kernel(S, l_max, rw,
                     x_ref[base + lwins_ref[0, l, s], ch], ci, axis=1)
                 t1 = jnp.where(sel == s, t1s, t1)
             qn.append(jnp.take_along_axis(t1, rs, axis=0))
-        vals = math(qo, qn, w_ref[0, l, 0], w_ref[0, l, 1],
-                    w_ref[0, l, 2], w_ref[0, l, 3])
+        vals = math(qo, qn, [w_ref[0, l, k] for k in range(nw)])
         return tuple(a + v for a, v in zip(acc, vals))
 
     zero = jnp.zeros((8, 128), o_ref.dtype)
@@ -117,13 +129,14 @@ class PallasWindowFlux:
     """
 
     def __init__(self, plan: WindowPlan, num_nodes: int, dtype=jnp.float32,
-                 interpret: bool = False, rw: bool = False, arrays=None):
+                 interpret: bool = False, rw: bool = False, arrays=None,
+                 mode: str | None = None):
         self.plan = plan
         self.num_nodes = num_nodes
         self.padded = plan.padded_nodes
         self.dtype = jnp.dtype(dtype)
         self.interpret = interpret
-        self.rw = rw
+        self.mode = mode or ("rw" if rw else "flux")
         f = np.asarray
         # kept as a dict so callers pass them through jit as ARGUMENTS —
         # closure-embedding ~450 MB of plan constants into the HLO blows
@@ -141,7 +154,9 @@ class PallasWindowFlux:
         }
 
     def _channels(self, q):
-        """(5, P) -> (P-lane) channel stack (NCH, P)."""
+        """(5, P) -> channel stack ((NCH, P) for flux/rw; raw for wsum)."""
+        if self.mode == "wsum":
+            return q
         from ..ops import tops
         prim = tops.t_primitives(q)
         return jnp.stack([
@@ -156,13 +171,16 @@ class PallasWindowFlux:
         P = self.padded
         arrays = self.arrays if arrays is None else arrays
         assert q.shape[1] == P, (q.shape, P)
-        X = self._channels(q)                          # (NCH, P)
+        nch, math = _MATH[self.mode]
+        nw = self.plan.w4.shape[2]
+        X = self._channels(q)                          # (nch, P)
         # node j -> (win j//1024, row j%8, lane (j//8)%128)
-        Xw = X.reshape(NCH, plan.n_win, 128, 8).transpose(1, 0, 3, 2)
+        Xw = X.reshape(nch, plan.n_win, 128, 8).transpose(1, 0, 3, 2)
 
         grid = (plan.n_win,)
         S, l_max = plan.n_src, plan.l_max
-        kernel = functools.partial(_window_kernel, S, l_max, self.rw)
+        kernel = functools.partial(_window_kernel, S, l_max, nch, math,
+                                   nw)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -177,7 +195,7 @@ class PallasWindowFlux:
                                  lambda w, *_: (w, 0, 0, 0)),
                     pl.BlockSpec((1, l_max, 8, 128),
                                  lambda w, *_: (w, 0, 0, 0)),
-                    pl.BlockSpec((1, l_max, 4, 8, 128),
+                    pl.BlockSpec((1, l_max, nw, 8, 128),
                                  lambda w, *_: (w, 0, 0, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec((1, 5, 8, 128),

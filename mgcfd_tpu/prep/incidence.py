@@ -87,7 +87,11 @@ def ell_accumulate(tables: IncidenceTables, val_internal,
     stream = jnp.concatenate([
         val_internal, val_internal_b, val_boundary, val_wall,
         jnp.zeros((1, val_internal.shape[-1]), val_internal.dtype)], axis=0)
-    gathered = stream[tables.slots]               # (N, D, NVAR)
+    n, d = tables.slots.shape
+    # flat 1D row-gather + reshape (a 2D-indexed gather lowers to the
+    # ~6 GB/s strided multi-axis XLA form on TPU; see ops/mg.py)
+    gathered = stream[tables.slots.reshape(-1)].reshape(
+        n, d, -1)                                 # (N, D, NVAR)
     # signs for internal-b are already folded into val_internal_b, so the
     # sign table only masks padding and fixes the +/- convention:
     s = jnp.abs(tables.signs).astype(val_internal.dtype)

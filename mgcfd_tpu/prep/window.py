@@ -89,19 +89,31 @@ class WindowPlan:
         return self.num_half_edges / max(1, live)
 
 
-def build_window_plan(lvl: MeshLevel, kw: int | None = None,
-                      l_cap: int = 64) -> WindowPlan:
-    n = lvl.num_nodes
+def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
+                        nbr: np.ndarray, wcols: np.ndarray,
+                        pair_id: np.ndarray | None = None,
+                        kw: int | None = None,
+                        l_cap: int = 64):
+    """Pack arbitrary half-edges (owner, nbr, K weight columns) into the
+    windowed-gather layer structure. This serves BOTH the flux kernel
+    (K=4: signed normal + |w|, pair_id = edge id so spilling one half
+    spills its partner) and the windowed prolongation (K=1: the B1
+    inverse-distance coefficient, halves independent).
+
+    Returns (plan: WindowPlan with empty spill arrays, ok: bool mask over
+    the half-edges — False = spilled to the caller's indexed path)."""
+    n = num_nodes
     n_win = -(-n // WIN)
-    a = lvl.edge_a.astype(np.int64)
-    b = lvl.edge_b.astype(np.int64)
-    E = a.shape[0]
+    H = owner.shape[0]
+    owner = owner.astype(np.int64)
+    nbr = nbr.astype(np.int64)
+    K = wcols.shape[1]
 
     if kw is None:
-        # cover the realized window span of most edges TWO-SIDED (the
-        # neighborhood is centred on the owner), clamped for VMEM
-        span = np.abs(a // WIN - b // WIN)
-        need = int(np.percentile(span, 99.5)) + 1 if E else 1
+        # cover the realized window span of most half-edges TWO-SIDED
+        # (the neighborhood is centred on the owner), clamped for VMEM
+        span = np.abs(owner // WIN - nbr // WIN)
+        need = int(np.percentile(span, 99.5)) + 1 if H else 1
         kw = int(min(n_win, max(2, min(28, 2 * need + 1))))
     else:
         kw = int(min(kw, n_win))
@@ -110,25 +122,19 @@ def build_window_plan(lvl: MeshLevel, kw: int | None = None,
                        max(0, n_win - kw)).astype(np.int32)
     own_local = (np.arange(n_win) - base_win).astype(np.int32)
 
-    # half-edges: (owner, nbr, edge_id, sign)
-    owner = np.concatenate([a, b])
-    nbr = np.concatenate([b, a])
-    eid = np.concatenate([np.arange(E), np.arange(E)])
-    sign = np.concatenate([np.ones(E), -np.ones(E)])
-
     ow = owner // WIN
     gw = nbr // WIN
     lw = gw - base_win[ow]                       # local window offset
     in_range = (lw >= 0) & (lw < kw)
-    # spill whole EDGES if either half is out of range (keeps the two
-    # accumulations paired in one path)
-    edge_ok = np.ones(E, bool)
-    edge_ok[eid[~in_range]] = False
+    # with pair_id, spill whole PAIRS if either member is out of range
+    # (keeps the two accumulations of an edge in one path)
+    if pair_id is not None:
+        npair = int(pair_id.max()) + 1 if H else 0
+        pair_ok = np.ones(npair, bool)
+        pair_ok[pair_id[~in_range]] = False
+    else:
+        pair_ok = None
 
-    # --- greedy layer assignment (per-column bitmask first-fit) --------
-    # keys: slot (ow_win, layer) x (o_row, o_lane) unique;
-    #        cell (ow_win, layer) x (g_row, o_lane) unique;
-    #        layer bound to (ow_win, lw).
     # within-window node -> (row, lane) mapping is INTERLEAVED
     # (row = j % 8, lane = (j // 8) % 128): after RCM most neighbors sit
     # at small |delta|, and the interleave spreads them over all 8 rows,
@@ -156,7 +162,7 @@ def build_window_plan(lvl: MeshLevel, kw: int | None = None,
     col_idx = np.zeros((n_win, l_cap, 8, 128), np.int32)
     row_sel = np.zeros((n_win, l_cap, 8, 128), np.int32)
     wsel = np.zeros((n_win, l_cap, 8, 128), np.int32)
-    w4 = np.zeros((n_win, l_cap, 4, 8, 128))
+    w4 = np.zeros((n_win, l_cap, K, 8, 128))
 
     slot_mask = [0] * (n_win * WIN)      # key: owner node
     cell_mask = [0] * (n_win * WIN)      # key: (win, g_row, o_lane)
@@ -167,23 +173,22 @@ def build_window_plan(lvl: MeshLevel, kw: int | None = None,
     # consecutive RCM nodes share many neighbors, and sharing the cell
     # halves the layer count (measured)
     val_mask: dict = {}
-    placement = np.full(owner.shape[0], -1, np.int32)
-    place_src = np.zeros(owner.shape[0], np.int32)
-
-    ew = lvl.edge_w
-    ewt = np.sqrt((ew ** 2).sum(axis=1))
+    placement = np.full(H, -1, np.int32)
+    place_src = np.zeros(H, np.int32)
 
     # process by (owner window, local nbr window) so layers fill densely
     order = np.lexsort((lw, ow))
     ow_l = ow.tolist(); lw_l = lw.tolist()
     orow_l = o_row.tolist(); olane_l = o_lane.tolist()
     grow_l = g_row.tolist(); glane_l = g_lane.tolist()
-    ok_l = (in_range & edge_ok[eid]).tolist()
-    eid_l = eid.tolist()
-    edge_ok_l = edge_ok.tolist()
+    ok_l = in_range.tolist()
+    pid_l = pair_id.tolist() if pair_id is not None else None
+    pair_ok_l = pair_ok.tolist() if pair_ok is not None else None
     lc = layer_count
     for h in order.tolist():
-        if not ok_l[h] or not edge_ok_l[eid_l[h]]:
+        if not ok_l[h]:
+            continue
+        if pid_l is not None and not pair_ok_l[pid_l[h]]:
             continue
         wv = ow_l[h]; lwv = lw_l[h]
         orv = orow_l[h]; olv = olane_l[h]; grv = grow_l[h]
@@ -199,7 +204,8 @@ def build_window_plan(lvl: MeshLevel, kw: int | None = None,
         else:
             layer = int(lc[wv])
             if layer >= l_cap:
-                edge_ok_l[eid_l[h]] = False
+                if pid_l is not None:
+                    pair_ok_l[pid_l[h]] = False
                 continue
             lc[wv] = layer + 1
             spare_mask[wv] |= 1 << layer
@@ -219,22 +225,21 @@ def build_window_plan(lvl: MeshLevel, kw: int | None = None,
         placement[h] = layer
         place_src[h] = src
 
-    edge_ok = np.asarray(edge_ok_l, bool)
-    placed = (placement >= 0) & edge_ok[eid]
-    hp = np.flatnonzero(placed)
+    ok = placement >= 0
+    if pair_ok_l is not None:
+        pair_ok = np.asarray(pair_ok_l, bool)
+        ok &= pair_ok[pair_id]
+    hp = np.flatnonzero(ok)
     lay = placement[hp]
     # vectorized fills (placement layers are conflict-free by the masks)
     col_idx[ow[hp], lay, g_row[hp], o_lane[hp]] = g_lane[hp]
     wsel[ow[hp], lay, g_row[hp], o_lane[hp]] = place_src[hp]
     row_sel[ow[hp], lay, o_row[hp], o_lane[hp]] = g_row[hp]
-    w4[ow[hp], lay, 0, o_row[hp], o_lane[hp]] = sign[hp] * ew[eid[hp], 0]
-    w4[ow[hp], lay, 1, o_row[hp], o_lane[hp]] = sign[hp] * ew[eid[hp], 1]
-    w4[ow[hp], lay, 2, o_row[hp], o_lane[hp]] = sign[hp] * ew[eid[hp], 2]
-    w4[ow[hp], lay, 3, o_row[hp], o_lane[hp]] = ewt[eid[hp]]
+    for k in range(K):
+        w4[ow[hp], lay, k, o_row[hp], o_lane[hp]] = wcols[hp, k]
 
     l_max = max(1, int(layer_count.max()))
-    spill = ~edge_ok
-    return WindowPlan(
+    plan = WindowPlan(
         n_win=n_win, kw=kw, l_max=l_max, n_src=S,
         base_win=base_win, own_local=own_local,
         layer_count=layer_count,
@@ -243,11 +248,37 @@ def build_window_plan(lvl: MeshLevel, kw: int | None = None,
         col_idx=col_idx[:, :l_max],
         row_sel=row_sel[:, :l_max],
         w4=w4[:, :l_max],
-        spill_a=lvl.edge_a[spill].astype(np.int32),
-        spill_b=lvl.edge_b[spill].astype(np.int32),
-        spill_w=lvl.edge_w[spill],
-        num_half_edges=int((edge_ok[eid] & in_range).sum()),
-        num_spilled_edges=int(spill.sum()))
+        spill_a=np.zeros(0, np.int32), spill_b=np.zeros(0, np.int32),
+        spill_w=np.zeros((0, 3)),
+        num_half_edges=int(ok.sum()),
+        num_spilled_edges=0)
+    return plan, ok
+
+
+def build_window_plan(lvl: MeshLevel, kw: int | None = None,
+                      l_cap: int = 64) -> WindowPlan:
+    """Flux plan: both halves of every internal edge (owner a with +w,
+    owner b with -w, plus |w|), pair-spilled so a spilled edge leaves
+    both accumulations to the segment path."""
+    a = lvl.edge_a.astype(np.int64)
+    b = lvl.edge_b.astype(np.int64)
+    E = a.shape[0]
+    owner = np.concatenate([a, b])
+    nbr = np.concatenate([b, a])
+    eid = np.concatenate([np.arange(E), np.arange(E)])
+    sign = np.concatenate([np.ones(E), -np.ones(E)])
+    ewt = np.sqrt((lvl.edge_w ** 2).sum(axis=1))
+    wcols = np.concatenate([sign[:, None] * lvl.edge_w[eid],
+                            ewt[eid][:, None]], axis=1)
+    plan, ok = build_halfedge_plan(lvl.num_nodes, owner, nbr, wcols,
+                                   pair_id=eid, kw=kw, l_cap=l_cap)
+    spill = np.ones(E, bool)
+    spill[eid[ok]] = False
+    plan.spill_a = lvl.edge_a[spill].astype(np.int32)
+    plan.spill_b = lvl.edge_b[spill].astype(np.int32)
+    plan.spill_w = lvl.edge_w[spill]
+    plan.num_spilled_edges = int(spill.sum())
+    return plan
 
 
 def reconstruct_half_edges(plan: WindowPlan):
@@ -269,3 +300,58 @@ def reconstruct_half_edges(plan: WindowPlan):
                 outs.append((owner, nbrn, w[0, r, l], w[1, r, l],
                              w[2, r, l]))
     return outs
+
+
+def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
+                         l_cap: int = 64) -> dict:
+    """Windowed prolongation (mg_loops.cpp:678-864 live operator).
+
+    With G[n] = rc[mapping[n]] (one lane-gather of the coarse residual),
+    every per-edge term of the reference's interpolation collapses to:
+
+      into a2:  A1_e * G[a2] + B1_e * G[b2]     (A1 part NODE-LOCAL)
+      into b2:  BS_e * G[b2]                    (entirely NODE-LOCAL —
+                the reference's a1->b2 quirk reads rc[b1] = G[b2])
+
+    so the only neighbor-coupled term is sum_e B1_e * G[b2] into a2 — a
+    weighted neighbor sum, served by the windowed-gather kernel in wsum
+    mode. A1/BS/weight sums are precomputed per-node dense constants.
+    Spilled half-edges (window overflow) go to a small indexed stream.
+    """
+    n = fine.num_nodes
+    mapping = fine.mg_mapping
+    assert mapping is not None and mapping.shape[0] == n
+    coincident = np.all(fine.coords == coarse.coords[mapping], axis=1)
+    a2 = fine.edge_a.astype(np.int64)
+    b2 = fine.edge_b.astype(np.int64)
+    a1 = mapping[a2]
+    b1 = mapping[b2]
+
+    def idist(p, q):
+        d = p - q
+        with np.errstate(divide="ignore"):
+            out = 1.0 / np.sqrt((d * d).sum(axis=1))
+        return np.nan_to_num(out, posinf=0.0, neginf=0.0)
+
+    la = (~coincident[a2]).astype(np.float64)
+    lb = (~coincident[b2]).astype(np.float64)
+    A1 = la * idist(fine.coords[a2], coarse.coords[a1])
+    B1 = la * idist(coarse.coords[b1], fine.coords[a2])
+    BS = lb * (idist(fine.coords[b2], coarse.coords[b1])
+               + idist(coarse.coords[a1], fine.coords[b2]))
+
+    dense_local = np.zeros(n)      # A1 into a2 + BS into b2 (x G[n])
+    np.add.at(dense_local, a2, A1)
+    np.add.at(dense_local, b2, BS)
+    wsum = dense_local.copy()
+    np.add.at(wsum, a2, B1)
+
+    plan, ok = build_halfedge_plan(n, a2, b2, B1[:, None], l_cap=l_cap)
+    sp = ~ok
+    return {"plan": plan,
+            "dense_local": dense_local, "wsum": wsum,
+            "coincident": coincident,
+            "parent": mapping.astype(np.int32),
+            "spill_a2": a2[sp].astype(np.int32),
+            "spill_b2": b2[sp].astype(np.int32),
+            "spill_B1": B1[sp]}

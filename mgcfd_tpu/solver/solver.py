@@ -69,6 +69,7 @@ class DeviceLevel:
     window_flux: Optional[Any] = None  # PallasWindowFlux (unstructured)
     window_rw: Optional[Any] = None    # its indirect_rw twin
     window_arrays: Optional[Any] = None  # plan arrays (travel as jit args)
+    prolong_window: Optional[Any] = None  # dict, see build_prolong_window
 
 
 @dataclasses.dataclass
@@ -272,6 +273,43 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                     pst["structured"] = (tuple(fine.structured_dims),
                                          tuple(coarse.structured_dims))
                 dlevels[i].prolong_shift_tables = pst
+            if (config.accumulate == "window"
+                    and fine.coords is not None
+                    and coarse.coords is not None
+                    and fine.mg_mapping.shape[0] == fine.num_nodes):
+                # windowed prolongation: the only neighbor-coupled term
+                # rides the wsum kernel; the rest is dense. Replaces the
+                # per-edge ELL spill gather that dominated the tet
+                # V-cycle at 6 GB/s (xprof, BASELINE.md).
+                from ..prep.window import build_prolong_window
+                from ..pallas.flux_window import PallasWindowFlux
+                pwb = build_prolong_window(fine, coarse)
+                interp = jax.default_backend() == "cpu"
+                wk = PallasWindowFlux(pwb["plan"], fine.num_nodes,
+                                      dtype=dtype, interpret=interp,
+                                      mode="wsum")
+                Ppad = wk.padded
+                nfi = fine.num_nodes
+
+                def padded(x, fill, dt=None):
+                    out = np.full(Ppad, fill, dtype=x.dtype)
+                    out[:nfi] = x
+                    return out if dt is None else out.astype(dt)
+
+                wsafe = np.where(pwb["wsum"] > 0, pwb["wsum"], 1.0)
+                dlevels[i].prolong_window = {
+                    "kernel": wk, "arrays": wk.arrays,
+                    "dense_local": put(padded(pwb["dense_local"], 0.0)),
+                    "inv_wsum": put(1.0 / padded(wsafe, 1.0)),
+                    "coincident": jnp.asarray(
+                        padded(pwb["coincident"], True)),
+                    "parent": put(padded(pwb["parent"], 0), jnp.int32),
+                    "live": put(np.concatenate(
+                        [np.ones(nfi), np.zeros(Ppad - nfi)])),
+                    "spill_a2": put(pwb["spill_a2"], jnp.int32),
+                    "spill_b2": put(pwb["spill_b2"], jnp.int32),
+                    "spill_B1": put(pwb["spill_B1"]),
+                }
 
     ff_q, ff_flux = far_field_state(np.float64)
     return DeviceMesh(levels=dlevels, variant=mesh.variant,
@@ -537,6 +575,33 @@ def apply_prolong(fine: DeviceLevel, coarse: DeviceLevel,
         fine.coords, fine.edge_a, fine.edge_b))
 
 
+def apply_prolong_padded(fine: DeviceLevel, coarse: DeviceLevel,
+                         res_c, res_f, vars_f, tstate: bool):
+    """Prolong on FULL (possibly lane-padded) state arrays. Prefers the
+    windowed formulation (prep/window.build_prolong_window): one
+    parent lane-gather + dense node-local terms + the wsum kernel; tail
+    lanes are masked by `live` so the padding is untouched. Falls back
+    to apply_prolong on real-width views + lane_writeback."""
+    pw = fine.prolong_window
+    if tstate and pw is not None:
+        G = res_c[:, pw["parent"]]                   # (5, P) lane gather
+        acc = pw["dense_local"][None] * G \
+            + pw["kernel"](G, arrays=pw["arrays"])
+        sa2 = pw["spill_a2"]
+        if sa2.shape[0]:
+            from ..ops import tops
+            vals = pw["spill_B1"][None] * G[:, pw["spill_b2"]]
+            acc = acc + tops.t_segment_accumulate(vals, sa2, G.shape[1])
+        wavg = jnp.where(pw["coincident"][None], G,
+                         acc * pw["inv_wsum"][None])
+        return vars_f + pw["live"][None] * (res_f - wavg)
+    rc = real_view(res_c, coarse, tstate)
+    rf = real_view(res_f, fine, tstate)
+    vf = real_view(vars_f, fine, tstate)
+    new = apply_prolong(fine, coarse, rc, rf, vf, tstate)
+    return lane_writeback(vars_f, new, vf, tstate)
+
+
 # ---------------------------------------------------------------------------
 # the V-cycle
 # ---------------------------------------------------------------------------
@@ -634,12 +699,9 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
         for l in range(L - 2, -1, -1):
             fine = dmesh.levels[l]
             coarse = dmesh.levels[l + 1]
-            res_c = real(residuals[l + 1], coarse)
-            res_f = real(residuals[l], fine)
-            vars_f = real(variables[l], fine)
-            new_f = apply_prolong(fine, coarse, res_c, res_f, vars_f,
-                                  tstate)
-            variables[l] = writeback(variables[l], new_f, vars_f)
+            variables[l] = apply_prolong_padded(
+                fine, coarse, residuals[l + 1], residuals[l],
+                variables[l], tstate)
             if l > 0:
                 do_visit(l)
 
