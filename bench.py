@@ -147,6 +147,9 @@ def main():
         ("pallas", SolverConfig(dtype="float32",
                                 include_indirect_rw=False,
                                 accumulate="pallas")),
+        ("window", SolverConfig(dtype="float32",
+                                include_indirect_rw=False,
+                                accumulate="window")),
         ("shift_t", SolverConfig(dtype="float32",
                                  include_indirect_rw=False,
                                  accumulate="shift", transposed=True)),
@@ -166,6 +169,13 @@ def main():
             if mode == "pallas":
                 pf = lvl0.pallas_flux
                 flux_fn = jax.jit(lambda v, pf=pf: pf(v))
+                arg = v0_t
+            elif mode == "window":
+                # plan arrays must travel as jit ARGUMENTS (HLO size)
+                jf = jax.jit(lambda v, a, wf=lvl0.window_flux: wf(v, a))
+
+                def flux_fn(v, jf=jf, a=lvl0.window_arrays):
+                    return jf(v, a)
                 arg = v0_t
             elif cfg.transposed:
                 from mgcfd_tpu.ops import tops
@@ -207,7 +217,7 @@ def main():
     # best wins.
     cycle_times = {}
     cycles = 10
-    for mode in ("pallas", "shift_t", "shift"):
+    for mode in ("pallas", "window", "shift_t", "shift"):
         solver = solvers.get(mode)
         if solver is None:
             continue
