@@ -96,7 +96,8 @@ def _tet_metrics():
         E = mesh.levels[0].num_internal_edges
 
         cfg = SolverConfig(dtype="float32", accumulate="window",
-                           include_indirect_rw=False)
+                           include_indirect_rw=False,
+                           plan_cache_dir=".golden/benchtet/plans")
         s = MGCFDSolver(mesh, cfg)
         s.config.check_invalid_every = 10 ** 9
 

@@ -140,6 +140,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of one extra "
                         "V-cycle after the run (view with xprof/"
                         "tensorboard)")
+    p.add_argument("--plan-cache", default=None, metavar="DIR",
+                   help="content-addressed cache for windowed-gather "
+                        "plans (--accumulate window preprocessing)")
     p.add_argument("--dump-hlo", default=None, metavar="DIR",
                    help="save compiled optimized-HLO text per kernel "
                         "(instrumented) or for the whole V-cycle (fused) "
@@ -192,6 +195,8 @@ def main(argv=None) -> int:
     cfg.flux_reuse_factor |= args.flux_reuse_factor
     if args.no_indirect_rw:
         cfg.include_indirect_rw = False
+    if args.plan_cache is not None:
+        cfg.plan_cache_dir = args.plan_cache
     if args.checkpoint_dir is not None:
         cfg.checkpoint_dir = args.checkpoint_dir
     if args.checkpoint_every is not None:

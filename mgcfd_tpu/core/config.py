@@ -53,6 +53,8 @@ class SolverConfig:
     # loop (lane-major; needs accumulate='shift')
     mg_gather: bool = True            # gather-transpose restrict/prolong
     # (TPU-fast; False falls back to the scatter formulation)
+    plan_cache_dir: str = ""          # content-addressed npz cache for
+    # windowed-gather plans (prep/window.cached_plan); "" = rebuild
     check_invalid_every: int = 1      # host-side NaN-guard cadence (cycles)
     num_partitions: int = 1           # SPMD shards (parallel/)
     monitor_mode: str = "fused"       # 'fused' | 'instrumented'

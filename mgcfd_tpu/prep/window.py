@@ -176,8 +176,18 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
     placement = np.full(H, -1, np.int32)
     place_src = np.zeros(H, np.int32)
 
-    # process by (owner window, local nbr window) so layers fill densely
-    order = np.lexsort((lw, ow))
+    # process ROUND-ROBIN over owners (rank r of every owner before rank
+    # r+1 of any): the slot constraint (one half-edge per owner per
+    # layer) then fills layers breadth-first, keeping the layer count
+    # near the max-degree lower bound instead of letting early owners
+    # monopolise low layers
+    so = np.argsort(owner, kind="stable")
+    starts = np.flatnonzero(np.concatenate(
+        [[True], np.diff(owner[so]) != 0])) if H else np.zeros(0, np.int64)
+    lens = np.diff(np.concatenate([starts, [H]])) if H else starts
+    rank = np.empty(H, np.int64)
+    rank[so] = np.arange(H) - np.repeat(starts, lens)
+    order = np.lexsort((lw, rank, ow))
     ow_l = ow.tolist(); lw_l = lw.tolist()
     orow_l = o_row.tolist(); olane_l = o_lane.tolist()
     grow_l = g_row.tolist(); glane_l = g_lane.tolist()
@@ -355,3 +365,91 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
             "spill_a2": a2[sp].astype(np.int32),
             "spill_b2": b2[sp].astype(np.int32),
             "spill_B1": B1[sp]}
+
+
+# --------------------------------------------------------------------------
+# plan caching: the greedy packer is pure-host preprocessing (~20 s per
+# flagship-scale level); like the reference's binary mesh cache
+# (io_enhanced.cpp:203-405), plans are content-addressed npz snapshots —
+# corrupt or stale files silently rebuild.
+# --------------------------------------------------------------------------
+
+_PLAN_FIELDS = ["base_win", "own_local", "layer_count", "layer_wins",
+                "wsel", "col_idx", "row_sel", "w4", "spill_a", "spill_b",
+                "spill_w"]
+_PLAN_SCALARS = ["n_win", "kw", "l_max", "n_src", "num_half_edges",
+                 "num_spilled_edges"]
+
+
+def _content_key(arrays) -> str:
+    import hashlib
+    h = hashlib.sha1()
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()[:20]
+
+
+def cached_plan(cache_dir: str, kind: str, key_arrays, build):
+    """build() -> WindowPlan | dict of arrays+WindowPlan. Content-keyed
+    npz cache; any load failure falls back to a rebuild (same contract
+    as mesh/cache.py)."""
+    import os
+    if not cache_dir:
+        return build()
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir,
+                        f"{kind}-{_content_key(key_arrays)}.npz")
+    if os.path.exists(path):
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                return _unpack_plan_npz(dict(z.items()))
+        except Exception:
+            pass
+    obj = build()
+    flat = _pack_plan_npz(obj)
+    tmp = path + ".tmp.npz"       # .npz suffix: savez must not append
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+    return obj
+
+
+def _pack_plan_npz(obj) -> dict:
+    if isinstance(obj, WindowPlan):
+        out = {f: getattr(obj, f) for f in _PLAN_FIELDS}
+        out.update({f: np.asarray(getattr(obj, f))
+                    for f in _PLAN_SCALARS})
+        out["__kind__"] = np.asarray("plan")
+        return out
+    out = {"__kind__": np.asarray("dict")}
+    for k, v in obj.items():
+        if isinstance(v, WindowPlan):
+            for kk, vv in _pack_plan_npz(v).items():
+                if kk != "__kind__":
+                    out[f"plan.{k}.{kk}"] = vv
+            out[f"__plan__.{k}"] = np.asarray(1)
+        else:
+            out[f"val.{k}"] = np.asarray(v)
+    return out
+
+
+def _unpack_plan_npz(flat):
+    kind = str(flat.pop("__kind__"))
+    def mk_plan(d):
+        kw = {f: d[f] for f in _PLAN_FIELDS}
+        kw.update({f: int(d[f]) for f in _PLAN_SCALARS})
+        return WindowPlan(**kw)
+    if kind == "plan":
+        return mk_plan(flat)
+    out = {}
+    plans = [k.split(".", 1)[1] for k in flat if k.startswith("__plan__.")]
+    for name in plans:
+        sub = {k.split(".", 2)[2]: v for k, v in flat.items()
+               if k.startswith(f"plan.{name}.")}
+        out[name] = mk_plan(sub)
+    for k, v in flat.items():
+        if k.startswith("val."):
+            out[k[4:]] = v
+    return out

@@ -125,9 +125,13 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
             # windowed-gather path (prep/window.py): arbitrary meshes,
             # incl. genuinely unstructured ones where the shift plan
             # collapses. Spill edges ride the generic spill segment-sum.
-            from ..prep.window import build_window_plan
+            from ..prep.window import build_window_plan, cached_plan
             from ..pallas.flux_window import PallasWindowFlux
-            wplan = build_window_plan(l)
+            wplan = cached_plan(
+                config.plan_cache_dir, "flux",
+                (l.edge_a, l.edge_b, l.edge_w,
+                 np.asarray([l.num_nodes])),
+                lambda l=l: build_window_plan(l))
             interp = jax.default_backend() == "cpu"
             window_flux = PallasWindowFlux(wplan, l.num_nodes,
                                            dtype=dtype, interpret=interp)
@@ -281,9 +285,15 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 # rides the wsum kernel; the rest is dense. Replaces the
                 # per-edge ELL spill gather that dominated the tet
                 # V-cycle at 6 GB/s (xprof, BASELINE.md).
-                from ..prep.window import build_prolong_window
+                from ..prep.window import build_prolong_window, \
+                    cached_plan
                 from ..pallas.flux_window import PallasWindowFlux
-                pwb = build_prolong_window(fine, coarse)
+                pwb = cached_plan(
+                    config.plan_cache_dir, "prolong",
+                    (fine.edge_a, fine.edge_b, fine.coords,
+                     coarse.coords, fine.mg_mapping),
+                    lambda fine=fine, coarse=coarse:
+                    build_prolong_window(fine, coarse))
                 interp = jax.default_backend() == "cpu"
                 wk = PallasWindowFlux(pwb["plan"], fine.num_nodes,
                                       dtype=dtype, interpret=interp,

@@ -117,3 +117,52 @@ def test_rw_twin_traffic_shape(tet_level, plan):
     out = np.asarray(rw(q))
     assert out.shape == (5, P)
     assert np.isfinite(out).all()
+
+
+def test_plan_cache_roundtrip(tet_level, plan, tmp_path, monkeypatch):
+    """cached_plan: second build loads from npz without invoking the
+    builder; arrays identical; corrupt file rebuilds silently."""
+    import os
+    from mgcfd_tpu.prep import window as W
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return W.build_window_plan(tet_level)
+
+    key = (tet_level.edge_a, tet_level.edge_b, tet_level.edge_w)
+    p1 = W.cached_plan(str(tmp_path), "flux", key, build)
+    p2 = W.cached_plan(str(tmp_path), "flux", key, build)
+    assert len(calls) == 1
+    for f in ("col_idx", "row_sel", "wsel", "w4", "layer_wins",
+              "layer_count", "spill_a"):
+        np.testing.assert_array_equal(getattr(p1, f), getattr(p2, f))
+    assert (p1.n_win, p1.kw, p1.l_max) == (p2.n_win, p2.kw, p2.l_max)
+    # corrupt -> silent rebuild
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+    with open(tmp_path / files[0], "wb") as f:
+        f.write(b"garbage")
+    p3 = W.cached_plan(str(tmp_path), "flux", key, build)
+    assert len(calls) == 2
+    np.testing.assert_array_equal(p1.w4, p3.w4)
+
+
+def test_prolong_plan_cache_roundtrip(tmp_path):
+    from mgcfd_tpu.mesh.unstructured import generate_unstructured_hierarchy
+    from mgcfd_tpu.prep.renumber import renumber_hierarchy
+    from mgcfd_tpu.prep import window as W
+
+    mesh = renumber_hierarchy(
+        generate_unstructured_hierarchy(7, 7, 7, 2, seed=2))
+    fine, coarse = mesh.levels
+    key = (fine.edge_a, fine.edge_b, fine.coords, coarse.coords,
+           fine.mg_mapping)
+    d1 = W.cached_plan(str(tmp_path), "prolong", key,
+                       lambda: W.build_prolong_window(fine, coarse))
+    d2 = W.cached_plan(str(tmp_path), "prolong", key,
+                       lambda: W.build_prolong_window(fine, coarse))
+    np.testing.assert_array_equal(d1["plan"].w4, d2["plan"].w4)
+    np.testing.assert_array_equal(d1["dense_local"], d2["dense_local"])
+    np.testing.assert_array_equal(d1["parent"], d2["parent"])
+    np.testing.assert_array_equal(d1["coincident"], d2["coincident"])
