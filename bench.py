@@ -65,11 +65,13 @@ def _time(fn, *args, reps=30):
 
 # Reference binary on the unstructured tet-flagship hierarchy (305K
 # nodes / 2.28M edges finest; .golden/benchtet, BASELINE.md round 2):
-# flux0 = 34,181,685 edge-iters / 2.105 s; V-cycle excl. the rw twin
-# 4.641 s / 5. The CPU degrades on unstructured (16.2M vs 38.7M
-# edges/s) — its gathers cache-miss too.
-CPU_TET_FLUX_EDGES_PER_SEC = 16.2e6
-CPU_TET_VCYCLE_SEC = 0.9281
+# flux0 = 34,181,685 edge-iters / 1.82 s; kernel Total excl. the rw
+# twin 3.966 s / 5 cycles (median of 3 clean runs — single-core runs
+# on this box swing ~2x under host contention, so baselines are taken
+# with the machine quiet). The CPU degrades on unstructured (18.8M vs
+# 38.7M edges/s) — its gathers cache-miss too.
+CPU_TET_FLUX_EDGES_PER_SEC = 18.8e6
+CPU_TET_VCYCLE_SEC = 0.7932
 
 
 def _tet_metrics():

@@ -53,7 +53,8 @@ from ..ops import (
 from ..ops.tops import t_time_step
 from ..solver.solver import (
     prepare_device_mesh, state_is_transposed, real_view, lane_writeback,
-    apply_restrict, apply_prolong_padded, t_step_factor, t_compute_fluxes,
+    apply_restrict_padded, apply_prolong_padded, t_step_factor,
+    t_compute_fluxes,
     t_indirect_rw, t_invalid_count, _compute_fluxes,
 )
 
@@ -181,10 +182,7 @@ class InstrumentedSolver:
                 # gather tables / segment-mean scatter, with lane-padded
                 # writeback when the state carries pallas padding
                 def restrict(vf, vc, lvl=lvl, nxt=nxt):
-                    fine_r = real_view(vf, lvl, ts)
-                    coarse_r = real_view(vc, nxt, ts)
-                    new_c = apply_restrict(lvl, nxt, fine_r, coarse_r, ts)
-                    return lane_writeback(vc, new_c, coarse_r, ts)
+                    return apply_restrict_padded(lvl, nxt, vf, vc, ts)
 
                 def prolong(rc, rf, vf, lvl=lvl, nxt=nxt):
                     return apply_prolong_padded(lvl, nxt, rc, rf, vf, ts)

@@ -133,7 +133,8 @@ class PallasWindowFlux:
                  mode: str | None = None):
         self.plan = plan
         self.num_nodes = num_nodes
-        self.padded = plan.padded_nodes
+        self.padded = plan.padded_nodes           # OWNER/output lanes
+        self.padded_in = plan.src_windows * WIN   # neighbor/input lanes
         self.dtype = jnp.dtype(dtype)
         self.interpret = interpret
         self.mode = mode or ("rw" if rw else "flux")
@@ -170,12 +171,13 @@ class PallasWindowFlux:
         plan = self.plan
         P = self.padded
         arrays = self.arrays if arrays is None else arrays
-        assert q.shape[1] == P, (q.shape, P)
+        assert q.shape[1] == self.padded_in, (q.shape, self.padded_in)
         nch, math = _MATH[self.mode]
         nw = self.plan.w4.shape[2]
-        X = self._channels(q)                          # (nch, P)
+        X = self._channels(q)                          # (nch, Pin)
         # node j -> (win j//1024, row j%8, lane (j//8)%128)
-        Xw = X.reshape(nch, plan.n_win, 128, 8).transpose(1, 0, 3, 2)
+        Xw = X.reshape(nch, plan.src_windows, 128, 8).transpose(
+            1, 0, 3, 2)
 
         grid = (plan.n_win,)
         S, l_max = plan.n_src, plan.l_max

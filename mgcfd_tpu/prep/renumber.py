@@ -95,13 +95,23 @@ def apply_node_order(lvl: MeshLevel, order: np.ndarray) -> MeshLevel:
     return new
 
 
-def renumber_hierarchy(mesh, method: str = "rcm"):
+def renumber_hierarchy(mesh, method: str = "rcm",
+                       align_coarse: bool = True):
     """RCM-renumber every level of a MultigridMesh, consistently fixing
     the inter-level mappings (renumbering level l permutes the VALUES of
     level l-1's mg_mapping and the ROWS of level l's own mapping).
 
+    With align_coarse (default), levels > 0 are ordered by the MEAN
+    INDEX OF THEIR CHILDREN in the (already renumbered) finer level
+    instead of an independent RCM: independent RCMs put the two levels
+    on uncorrelated space-filling walks, scattering each coarse node's
+    children across the fine index space — which wrecks cross-level
+    window plans (restrict spill measured at ~8 ms/cycle of scatter-add)
+    and parent-gather locality. The induced order inherits the fine
+    RCM's spatial locality, so intra-level bandwidth stays good too.
+
     Imported real meshes arrive in arbitrary node order; this is the
-    preprocessing that makes the shift-decomposition flux path (and
+    preprocessing that makes the span/window flux paths (and
     contiguous-block partitioning) effective on them. Returns a new
     MultigridMesh; the input is not modified.
     """
@@ -109,14 +119,23 @@ def renumber_hierarchy(mesh, method: str = "rcm"):
 
     levels = list(mesh.levels)
     new_levels = []
-    inv_orders = []
     for l, lvl in enumerate(levels):
-        order = rcm_order(lvl.num_nodes, lvl.edge_a, lvl.edge_b)
+        if l > 0 and align_coarse and \
+                new_levels[l - 1].mg_mapping is not None:
+            fmap = new_levels[l - 1].mg_mapping  # values: OLD level-l ids
+            sums = np.zeros(lvl.num_nodes)
+            cnts = np.zeros(lvl.num_nodes)
+            np.add.at(sums, fmap, np.arange(fmap.shape[0], dtype=float))
+            np.add.at(cnts, fmap, 1.0)
+            # childless nodes keep a stable position at the end
+            pos = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.inf)
+            order = np.lexsort((np.arange(lvl.num_nodes), pos))
+        else:
+            order = rcm_order(lvl.num_nodes, lvl.edge_a, lvl.edge_b)
         inv = np.empty_like(order)
         inv[order] = np.arange(order.shape[0])
         new = apply_node_order(lvl, order)
         new_levels.append(new)
-        inv_orders.append(inv)
         if l > 0 and new_levels[l - 1].mg_mapping is not None:
             # finer level's mapping VALUES live in this level's namespace
             new_levels[l - 1].mg_mapping = \

@@ -55,7 +55,7 @@ WIN = 1024          # nodes per window: one (8,128) f32 vreg-tile
 
 @dataclasses.dataclass
 class WindowPlan:
-    n_win: int                # number of 1024-node windows
+    n_win: int                # number of 1024-node OWNER windows
     kw: int                   # neighborhood width (windows) per owner
     l_max: int                # layer slots allocated per window
     n_src: int                # S: windows selectable per layer
@@ -72,6 +72,11 @@ class WindowPlan:
     spill_w: np.ndarray
     num_half_edges: int
     num_spilled_edges: int
+    n_win_src: int = 0        # neighbor-space windows (0 = same space)
+
+    @property
+    def src_windows(self) -> int:
+        return self.n_win_src or self.n_win
 
     @property
     def padded_nodes(self) -> int:
@@ -93,12 +98,17 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
                         nbr: np.ndarray, wcols: np.ndarray,
                         pair_id: np.ndarray | None = None,
                         kw: int | None = None,
-                        l_cap: int = 64):
+                        l_cap: int = 64,
+                        num_nbr_nodes: int | None = None):
     """Pack arbitrary half-edges (owner, nbr, K weight columns) into the
-    windowed-gather layer structure. This serves BOTH the flux kernel
-    (K=4: signed normal + |w|, pair_id = edge id so spilling one half
-    spills its partner) and the windowed prolongation (K=1: the B1
-    inverse-distance coefficient, halves independent).
+    windowed-gather layer structure. This serves the flux kernel (K=4:
+    signed normal + |w|, pair_id = edge id so spilling one half spills
+    its partner), the windowed prolongation (K=1: the B1 inverse-
+    distance coefficient, halves independent), and CROSS-SPACE operators
+    like restriction (num_nbr_nodes: neighbors live in a different node
+    id space — e.g. coarse owners gathering fine children; the
+    neighborhood base is then anchored at each owner window's mean
+    neighbor window instead of its own index).
 
     Returns (plan: WindowPlan with empty spill arrays, ok: bool mask over
     the half-edges — False = spilled to the caller's indexed path)."""
@@ -109,21 +119,35 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
     nbr = nbr.astype(np.int64)
     K = wcols.shape[1]
 
-    if kw is None:
-        # cover the realized window span of most half-edges TWO-SIDED
-        # (the neighborhood is centred on the owner), clamped for VMEM
-        span = np.abs(owner // WIN - nbr // WIN)
-        need = int(np.percentile(span, 99.5)) + 1 if H else 1
-        kw = int(min(n_win, max(2, min(28, 2 * need + 1))))
-    else:
-        kw = int(min(kw, n_win))
-
-    base_win = np.clip(np.arange(n_win) - (kw - 1) // 2, 0,
-                       max(0, n_win - kw)).astype(np.int32)
-    own_local = (np.arange(n_win) - base_win).astype(np.int32)
-
     ow = owner // WIN
     gw = nbr // WIN
+    if num_nbr_nodes is None:
+        n_win_src = n_win
+        anchor = np.arange(n_win)
+    else:
+        n_win_src = -(-num_nbr_nodes // WIN)
+        sums = np.zeros(n_win)
+        cnts = np.zeros(n_win)
+        np.add.at(sums, ow, gw)
+        np.add.at(cnts, ow, 1)
+        # windows with no half-edges anchor proportionally
+        guess = np.arange(n_win) * (n_win_src / max(1, n_win))
+        anchor = np.where(cnts > 0, sums / np.maximum(cnts, 1),
+                          guess).round().astype(np.int64)
+
+    if kw is None:
+        # cover the realized window span of most half-edges TWO-SIDED
+        # (the neighborhood is centred on the anchor), clamped for VMEM
+        span = np.abs(anchor[ow] - gw)
+        need = int(np.percentile(span, 99.5)) + 1 if H else 1
+        kw = int(min(n_win_src, max(2, min(28, 2 * need + 1))))
+    else:
+        kw = int(min(kw, n_win_src))
+
+    base_win = np.clip(anchor - (kw - 1) // 2, 0,
+                       max(0, n_win_src - kw)).astype(np.int32)
+    own_local = np.clip(np.arange(n_win) - base_win, 0,
+                        kw - 1).astype(np.int32)
     lw = gw - base_win[ow]                       # local window offset
     in_range = (lw >= 0) & (lw < kw)
     # with pair_id, spill whole PAIRS if either member is out of range
@@ -251,6 +275,7 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
     l_max = max(1, int(layer_count.max()))
     plan = WindowPlan(
         n_win=n_win, kw=kw, l_max=l_max, n_src=S,
+        n_win_src=(0 if num_nbr_nodes is None else n_win_src),
         base_win=base_win, own_local=own_local,
         layer_count=layer_count,
         layer_wins=layer_wins[:, :l_max],
@@ -378,7 +403,7 @@ _PLAN_FIELDS = ["base_win", "own_local", "layer_count", "layer_wins",
                 "wsel", "col_idx", "row_sel", "w4", "spill_a", "spill_b",
                 "spill_w"]
 _PLAN_SCALARS = ["n_win", "kw", "l_max", "n_src", "num_half_edges",
-                 "num_spilled_edges"]
+                 "num_spilled_edges", "n_win_src"]
 
 
 def _content_key(arrays) -> str:
@@ -453,3 +478,22 @@ def _unpack_plan_npz(flat):
         if k.startswith("val."):
             out[k[4:]] = v
     return out
+
+
+def build_restrict_window(mapping: np.ndarray, num_fine: int,
+                          num_coarse: int, l_cap: int = 64) -> dict:
+    """Windowed restriction (mg_loops.cpp:30-202 semantics): each coarse
+    OWNER gathers its fine children with weight 1/count — the segment
+    mean directly, cross-space (num_nbr_nodes = fine). Unmapped coarse
+    nodes keep their old value (the caller applies `mapped`)."""
+    counts = np.bincount(mapping, minlength=num_coarse)
+    w = (1.0 / np.maximum(counts, 1))[mapping]
+    owner = mapping.astype(np.int64)
+    nbr = np.arange(num_fine, dtype=np.int64)
+    plan, ok = build_halfedge_plan(num_coarse, owner, nbr, w[:, None],
+                                   l_cap=l_cap, num_nbr_nodes=num_fine)
+    sp = ~ok
+    return {"plan": plan, "mapped": counts > 0,
+            "spill_fine": nbr[sp].astype(np.int32),
+            "spill_coarse": owner[sp].astype(np.int32),
+            "spill_w": w[sp]}

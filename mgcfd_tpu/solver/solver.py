@@ -70,6 +70,7 @@ class DeviceLevel:
     window_rw: Optional[Any] = None    # its indirect_rw twin
     window_arrays: Optional[Any] = None  # plan arrays (travel as jit args)
     prolong_window: Optional[Any] = None  # dict, see build_prolong_window
+    restrict_window: Optional[Any] = None  # dict, see build_restrict_window
 
 
 @dataclasses.dataclass
@@ -277,6 +278,35 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                     pst["structured"] = (tuple(fine.structured_dims),
                                          tuple(coarse.structured_dims))
                 dlevels[i].prolong_shift_tables = pst
+            if (config.accumulate == "window"
+                    and fine.mg_mapping.shape[0] == fine.num_nodes):
+                # windowed restriction: coarse owners gather their fine
+                # children at weight 1/count (cross-space plan) — the
+                # last XLA row-gather in the tet cycle's up-sweep
+                from ..prep.window import build_restrict_window, \
+                    cached_plan as _cp
+                from ..pallas.flux_window import PallasWindowFlux as _PW
+                rwb = _cp(config.plan_cache_dir, "restrict",
+                          (fine.mg_mapping,
+                           np.asarray([fine.num_nodes,
+                                       coarse.num_nodes])),
+                          lambda fine=fine, coarse=coarse:
+                          build_restrict_window(fine.mg_mapping,
+                                                fine.num_nodes,
+                                                coarse.num_nodes))
+                rk = _PW(rwb["plan"], coarse.num_nodes, dtype=dtype,
+                         interpret=jax.default_backend() == "cpu",
+                         mode="wsum")
+                Pc = rk.padded
+                mapped_pad = np.zeros(Pc, bool)
+                mapped_pad[:coarse.num_nodes] = rwb["mapped"]
+                dlevels[i].restrict_window = {
+                    "kernel": rk, "arrays": rk.arrays,
+                    "mapped": jnp.asarray(mapped_pad),
+                    "spill_fine": put(rwb["spill_fine"], jnp.int32),
+                    "spill_coarse": put(rwb["spill_coarse"], jnp.int32),
+                    "spill_w": put(rwb["spill_w"]),
+                }
             if (config.accumulate == "window"
                     and fine.coords is not None
                     and coarse.coords is not None
@@ -585,6 +615,29 @@ def apply_prolong(fine: DeviceLevel, coarse: DeviceLevel,
         fine.coords, fine.edge_a, fine.edge_b))
 
 
+def apply_restrict_padded(fine: DeviceLevel, coarse: DeviceLevel,
+                          vars_f, vars_c, tstate: bool):
+    """Restriction on FULL (possibly lane-padded) state arrays. Prefers
+    the cross-space windowed formulation (coarse owners gathering fine
+    children at 1/count — the segment mean directly); unmapped coarse
+    nodes and padding tails keep their old value. Falls back to
+    apply_restrict on real-width views + lane_writeback."""
+    rw_ = fine.restrict_window
+    if tstate and rw_ is not None:
+        from ..ops import tops
+        mean = rw_["kernel"](vars_f, arrays=rw_["arrays"])  # (5, Pc)
+        sf = rw_["spill_fine"]
+        if sf.shape[0]:
+            vals = rw_["spill_w"][None] * vars_f[:, sf]
+            mean = mean + tops.t_segment_accumulate(
+                vals, rw_["spill_coarse"], mean.shape[1])
+        return jnp.where(rw_["mapped"][None], mean, vars_c)
+    fine_r = real_view(vars_f, fine, tstate)
+    coarse_r = real_view(vars_c, coarse, tstate)
+    new_c = apply_restrict(fine, coarse, fine_r, coarse_r, tstate)
+    return lane_writeback(vars_c, new_c, coarse_r, tstate)
+
+
 def apply_prolong_padded(fine: DeviceLevel, coarse: DeviceLevel,
                          res_c, res_f, vars_f, tstate: bool):
     """Prolong on FULL (possibly lane-padded) state arrays. Prefers the
@@ -693,12 +746,9 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
                 # because the state may be lane-padded (tail res == 0)
                 rms = calc_rms(res, dmesh.levels[0].num_nodes)
             # restrict variables l -> l+1 (euler3d:547-552)
-            fine_r = real(variables[l], dmesh.levels[l])
-            coarse_r = real(variables[l + 1], dmesh.levels[l + 1])
-            new_c = apply_restrict(dmesh.levels[l], dmesh.levels[l + 1],
-                                   fine_r, coarse_r, tstate)
-            variables[l + 1] = writeback(variables[l + 1], new_c,
-                                         coarse_r)
+            variables[l + 1] = apply_restrict_padded(
+                dmesh.levels[l], dmesh.levels[l + 1], variables[l],
+                variables[l + 1], tstate)
 
         # --- top level ---
         res = do_visit(L - 1)
