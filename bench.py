@@ -152,7 +152,8 @@ def main():
                                 accumulate="pallas")),
         ("window", SolverConfig(dtype="float32",
                                 include_indirect_rw=False,
-                                accumulate="window")),
+                                accumulate="window",
+                                plan_cache_dir=".golden/benchmesh/plans")),
         ("shift_t", SolverConfig(dtype="float32",
                                  include_indirect_rw=False,
                                  accumulate="shift", transposed=True)),

@@ -38,6 +38,7 @@ KERNELS = ["flux", "update", "compute_step", "time_step", "restrict",
 # completeness (fp32 VPU code sees a fraction of the bf16 MXU peak).
 DEVICE_PEAKS = [
     ("v6e", (918e12, 1640e9)),
+    ("v6 lite", (918e12, 1640e9)),   # jax device_kind string for v6e
     ("trillium", (918e12, 1640e9)),
     ("v5p", (459e12, 2765e9)),
     ("v5e", (197e12, 819e9)),

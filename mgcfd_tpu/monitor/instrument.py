@@ -56,7 +56,30 @@ from ..solver.solver import (
     apply_restrict_padded, apply_prolong_padded, t_step_factor,
     t_compute_fluxes,
     t_indirect_rw, t_invalid_count, _compute_fluxes,
+    _split_arrays, _merge_arrays,
 )
+
+
+def _bind(fn, *struct):
+    """jit `fn(*merged_struct, *args)` with every array inside `struct`
+    (DeviceLevel fields incl. window plans, edge lists, MG tables)
+    passed as jit ARGUMENTS — not closure constants, which inline into
+    the HLO module (confirmed: a 512-node windowed flux kernel lowered
+    to 2.2 MB of StableHLO; at flagship scale the plans are 100s of MB
+    and this environment's remote compiler rejects such bodies). Same
+    policy as solver._parametrised. The returned callable exposes
+    .lower() for cost analysis / HLO capture."""
+    arrays: list = []
+    tpl = _split_arrays(struct, arrays)
+
+    jf = jax.jit(lambda arrs, *args: fn(*_merge_arrays(tpl, arrs),
+                                        *args))
+
+    def bound(*args):
+        return jf(arrays, *args)
+
+    bound.lower = lambda *args: jf.lower(arrays, *args)
+    return bound
 
 
 @dataclasses.dataclass
@@ -121,74 +144,72 @@ class InstrumentedSolver:
         self.k = {}
         for l, lvl in enumerate(self.dmesh.levels):
             if ts:
-                self.k[("compute_step", l)] = jax.jit(
-                    lambda q, lvl=lvl: t_step_factor(lvl, q, self.legacy))
-                # the production flux dispatch (pallas / rolled shift /
-                # per-span shift + spill + dense boundary/wall)
-                self.k[("flux", l)] = jax.jit(
-                    lambda q, lvl=lvl: t_compute_fluxes(
-                        lvl, q, self.ff_flux, cfg))
+                self.k[("compute_step", l)] = _bind(
+                    lambda lv, q: t_step_factor(lv, q, self.legacy), lvl)
+                # the production flux dispatch (window / pallas / rolled
+                # shift + spill + dense boundary/wall)
+                self.k[("flux", l)] = _bind(
+                    lambda lv, q: t_compute_fluxes(lv, q, self.ff_flux,
+                                                   cfg), lvl)
                 self.k[("time_step", l)] = jax.jit(
                     lambda j, sf, fx, old: t_time_step(j, sf, fx, old),
                     static_argnums=0)
-                self.k[("indirect_rw", l)] = jax.jit(
-                    lambda q, lvl=lvl: t_indirect_rw(lvl, q, cfg))
+                self.k[("indirect_rw", l)] = _bind(
+                    lambda lv, q: t_indirect_rw(lv, q, cfg), lvl)
             else:
                 step = (compute_step_factor_legacy if self.legacy
                         else compute_step_factor)
-                self.k[("compute_step", l)] = jax.jit(
-                    lambda v, lvl=lvl, step=step: step(v, lvl.volumes))
+                self.k[("compute_step", l)] = _bind(
+                    lambda lv, v, step=step: step(v, lv.volumes), lvl)
 
                 if cfg.flux_fission:
-                    def flux_vals(v, lvl=lvl):
+                    def flux_vals(lv, v):
                         return (internal_edge_flux(
-                            v[lvl.edge_a], v[lvl.edge_b],
-                            lvl.edge_w, lvl.edge_ewt),
-                            boundary_edge_flux(v[lvl.bedge_b], lvl.bedge_w),
-                            wall_edge_flux(v[lvl.wedge_b], lvl.wedge_w,
+                            v[lv.edge_a], v[lv.edge_b],
+                            lv.edge_w, lv.edge_ewt),
+                            boundary_edge_flux(v[lv.bedge_b], lv.bedge_w),
+                            wall_edge_flux(v[lv.wedge_b], lv.wedge_w,
                                            self.ff_flux))
 
-                    def update(vals, lvl=lvl):
+                    def update(lv, vals):
                         vi, vb, vw = vals
                         return accumulate_flux(
-                            lvl.num_nodes, lvl.edge_a, lvl.edge_b, vi,
-                            lvl.bedge_b, vb, lvl.wedge_b, vw,
+                            lv.num_nodes, lv.edge_a, lv.edge_b, vi,
+                            lv.bedge_b, vb, lv.wedge_b, vw,
                             mode="segment")
 
-                    self.k[("flux", l)] = jax.jit(flux_vals)
-                    self.k[("update", l)] = jax.jit(update)
+                    self.k[("flux", l)] = _bind(flux_vals, lvl)
+                    self.k[("update", l)] = _bind(update, lvl)
                 else:
                     # honours config.accumulate (segment/scatter/ell/shift)
-                    self.k[("flux", l)] = jax.jit(
-                        lambda v, lvl=lvl: _compute_fluxes(
-                            lvl, v, self.ff_flux, cfg))
+                    self.k[("flux", l)] = _bind(
+                        lambda lv, v: _compute_fluxes(lv, v, self.ff_flux,
+                                                      cfg), lvl)
 
                 self.k[("time_step", l)] = jax.jit(
                     lambda j, sf, fx, old: time_step(j, sf, fx, old),
                     static_argnums=0)
 
-                def rw(v, lvl=lvl):
+                def rw(lv, v):
                     va, vb = indirect_rw_edge_values(
-                        v[lvl.edge_a], v[lvl.edge_b], lvl.edge_w)
-                    return accumulate_flux(lvl.num_nodes, lvl.edge_a,
-                                           lvl.edge_b, va, mode="segment",
+                        v[lv.edge_a], v[lv.edge_b], lv.edge_w)
+                    return accumulate_flux(lv.num_nodes, lv.edge_a,
+                                           lv.edge_b, va, mode="segment",
                                            val_internal_b=vb)
-                self.k[("indirect_rw", l)] = jax.jit(rw)
+                self.k[("indirect_rw", l)] = _bind(rw, lvl)
 
             if l < len(self.dmesh.levels) - 1:
                 nxt = self.dmesh.levels[l + 1]
 
-                # same dispatch as the fused cycle: structured parity /
-                # gather tables / segment-mean scatter, with lane-padded
-                # writeback when the state carries pallas padding
-                def restrict(vf, vc, lvl=lvl, nxt=nxt):
-                    return apply_restrict_padded(lvl, nxt, vf, vc, ts)
-
-                def prolong(rc, rf, vf, lvl=lvl, nxt=nxt):
-                    return apply_prolong_padded(lvl, nxt, rc, rf, vf, ts)
-
-                self.k[("restrict", l)] = jax.jit(restrict)
-                self.k[("prolong", l)] = jax.jit(prolong)
+                # same dispatch as the fused cycle: windowed / structured
+                # parity / gather tables / segment-mean scatter, with
+                # lane-padded writeback when the state carries padding
+                self.k[("restrict", l)] = _bind(
+                    lambda lv, nx, vf, vc: apply_restrict_padded(
+                        lv, nx, vf, vc, ts), lvl, nxt)
+                self.k[("prolong", l)] = _bind(
+                    lambda lv, nx, rc, rf, vf: apply_prolong_padded(
+                        lv, nx, rc, rf, vf, ts), lvl, nxt)
 
     # --- timed invocation ----------------------------------------------
     _recording = True

@@ -120,6 +120,14 @@ def t_shift_flux_rolled(deltas, wpad, variables):
     operand at (…, D*N). The operands are built by lane-concatenation
     (not stack+transpose+reshape, which materialises a (D,5,N)->(5,D,N)
     relayout — profiled as a top broadcast cost)."""
+    return _rolled_pass(
+        deltas, wpad, variables,
+        lambda qa, qb, ew, ewt: t_internal_edge_flux(qa, qb, ew, ewt))
+
+
+def _rolled_pass(deltas, wpad, variables, edge_val):
+    """Shared batched-roll scaffolding: lane-concatenated (…, D*N)
+    operands, one edge_val evaluation, roll-subtract for the b-sides."""
     D = len(deltas)
     V, n = variables.shape
     if wpad.ndim == 3:
@@ -129,7 +137,7 @@ def t_shift_flux_rolled(deltas, wpad, variables):
     qa = jnp.concatenate([variables] * D, axis=1)
     qb = jnp.concatenate([jnp.roll(variables, -d, axis=1)
                           for d in deltas], axis=1)
-    val = t_internal_edge_flux(qa, qb, ew, ewt).reshape(V, D, n)
+    val = edge_val(qa, qb, ew, ewt).reshape(V, D, n)
     flux = jnp.sum(val, axis=1)
     for i, d in enumerate(deltas):
         flux = flux - jnp.roll(val[:, i, :], d, axis=1)
@@ -141,20 +149,12 @@ def t_shift_rw_rolled(deltas, wpad, variables):
     slicing/roll/accumulate traffic, near-zero arithmetic (the reference
     twin does a handful of adds per edge, indirect_rw_kernel.elemfunc.c:
     42-55, and exists purely as a memory-bound roofline probe,
-    indirect_rw_loop.cpp:8-10)."""
-    D = len(deltas)
-    V, n = variables.shape
-    if wpad.ndim == 3:
-        wpad = wpad.transpose(1, 0, 2).reshape(wpad.shape[1], D * n)
-    e = wpad[0] + wpad[1] + wpad[2]
-    qa = jnp.concatenate([variables] * D, axis=1)
-    qb = jnp.concatenate([jnp.roll(variables, -d, axis=1)
-                          for d in deltas], axis=1)
-    val = (qa + qb + e[None]).reshape(V, D, n)
-    flux = jnp.sum(val, axis=1)
-    for i, d in enumerate(deltas):
-        flux = flux - jnp.roll(val[:, i, :], d, axis=1)
-    return flux
+    indirect_rw_loop.cpp:8-10). Shares the operand construction and
+    roll-accumulate scaffolding with t_shift_flux_rolled so the two can
+    never drift apart in traffic."""
+    return _rolled_pass(
+        deltas, wpad, variables,
+        lambda qa, qb, ew, ewt: qa + qb + (ew[0] + ew[1] + ew[2])[None])
 
 
 def t_dense_boundary_wall_flux(q, bd_normal, wall_normal, wall_const):

@@ -378,9 +378,18 @@ class ShardedSolver:
         dmesh_coarse = []
         if conditioned.num_levels > 1:
             from ..core.constants import MeshVariant
+            import dataclasses as _dc2
             no_recondition = MultigridMesh(
                 levels=conditioned.levels[1:], variant=MeshVariant.FVCORR)
-            dm = prepare_device_mesh(no_recondition, config)
+            # replicated coarse levels run the shift path even when the
+            # fine level's config says pallas/window: those kernels
+            # lane-pad the state, and the sharded coarse state is built
+            # unpadded (same numerics; coarse levels are ~8x smaller so
+            # the kernel choice is immaterial there)
+            coarse_cfg = config
+            if config.accumulate in ("pallas", "window"):
+                coarse_cfg = _dc2.replace(config, accumulate="shift")
+            dm = prepare_device_mesh(no_recondition, coarse_cfg)
             dmesh_coarse = dm.levels
         self.dmesh_coarse = dmesh_coarse
 

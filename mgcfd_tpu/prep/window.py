@@ -84,8 +84,9 @@ class WindowPlan:
 
     @property
     def coverage(self) -> float:
-        ne = self.num_half_edges // 2
-        return 1.0 - self.num_spilled_edges / max(1, ne)
+        placed = self.num_half_edges // 2
+        return 1.0 - self.num_spilled_edges / max(
+            1, placed + self.num_spilled_edges)
 
     @property
     def slot_fill(self) -> float:
@@ -179,6 +180,7 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
     # neighbor) AND (the nbr window is already in the layer's source set
     # or the set has room); take the lowest set bit, else open a layer.
     assert l_cap <= 64
+    assert kw <= 128  # val_mask packs the window offset into 7 bits
     S = 4
     layer_count = np.zeros(n_win, np.int32)
     layer_wins = np.zeros((n_win, l_cap, S), np.int32)
@@ -228,7 +230,7 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
         orv = orow_l[h]; olv = olane_l[h]; grv = grow_l[h]
         sk = wv * WIN + orv * 128 + olv
         ck = wv * WIN + grv * 128 + olv
-        vk = (ck << 12) | (lwv << 7) | glane_l[h]
+        vk = (ck << 14) | (lwv << 7) | glane_l[h]
         wk = wv * kw + lwv
         have_win = winset_mask.get(wk, 0)
         free = ~slot_mask[sk] & (have_win | spare_mask[wv])

@@ -184,3 +184,22 @@ def test_cli_validation_checks_all_levels(dataset, tmp_path, capsys):
     assert rc == 0
     assert "NaN check passed" in out
     os.remove(str(sol))
+
+
+def test_instrumented_window_mode(dataset):
+    """Instrumented timing over the windowed-gather dispatch (interpret
+    mode on CPU): production-path attribution extends to accumulate=
+    'window', including the windowed MG transfers."""
+    _, mesh = dataset
+    cfg = SolverConfig(dtype="float64", accumulate="window",
+                       include_indirect_rw=False)
+    fused = MGCFDSolver(mesh, cfg)
+    fused.run(cycles=2)
+    inst = InstrumentedSolver(mesh, cfg)
+    assert inst.tstate
+    inst.run(cycles=2)
+    np.testing.assert_allclose(inst.variables(0), fused.variables(0),
+                               rtol=1e-12, atol=1e-16)
+    assert inst.stats.times[("flux", 0)] > 0
+    assert inst.stats.times[("restrict", 0)] > 0
+    assert inst.stats.times[("prolong", 0)] > 0

@@ -134,3 +134,21 @@ def test_sharded_rolled_shift_uses_wpad():
     sh.run(cycles=3)
     np.testing.assert_allclose(sh.variables(0), ref.variables(0),
                                rtol=1e-10, atol=1e-14)
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+@pytest.mark.parametrize("acc", ["pallas", "window"])
+def test_sharded_with_padded_kernel_modes(acc):
+    """Regression (round-2 review): accumulate=pallas/window lane-pads
+    coarse-level constants, but the sharded solver's replicated coarse
+    state is unpadded — the coarse hierarchy must be built on the shift
+    path instead of crashing with a shape mismatch."""
+    mesh = generate_multigrid_box(8, 8, 8, 2, h=(0.1, 0.1, 0.1))
+    ref = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    ref.run(cycles=2)
+    sh = ShardedSolver(mesh, SolverConfig(dtype="float64",
+                                          num_partitions=4,
+                                          accumulate=acc))
+    sh.run(cycles=2)
+    np.testing.assert_allclose(sh.variables(0), ref.variables(0),
+                               rtol=1e-10, atol=1e-14)
