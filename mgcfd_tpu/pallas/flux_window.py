@@ -85,16 +85,20 @@ _MATH = {"flux": (8, lambda qo, qn, w: _flux_math(qo, qn, w[0], w[1],
          "wsum": (5, _wsum_math)}
 
 
-def _window_kernel(S, l_max, nch, math, nw,
-                   base_ref, nl_ref,           # scalar prefetch
-                   x_ref,                      # (n_win, nch, 8, 128)
+def _window_kernel(S, l_max, nch, math, nw, local_x,
+                   base_ref, nl_ref, own_ref,  # scalar prefetch
+                   x_ref,                      # (kw|n_win_src, nch, 8, 128)
                    lwins_ref,                  # (1, l_max, S) i32
                    wsel_ref, ci_ref, rs_ref,   # (1, l_max, 8, 128) i32
                    w_ref,                      # (1, l_max, K, 8, 128)
                    o_ref):                     # (1, 5, 8, 128)
+    # With local_x, x_ref is the kw-wide NEIGHBORHOOD block
+    # (element-granular start base_ref[w] via pl.Element) and the
+    # plan's local window offsets index it directly; otherwise x_ref is
+    # the whole state and the base is added in-kernel.
     w = pl.program_id(0)
-    base = base_ref[w]
-    qo = [x_ref[w, ch] for ch in range(nch)]
+    off = 0 if local_x else base_ref[w]
+    qo = [x_ref[off + own_ref[w], ch] for ch in range(nch)]
 
     def body(l, acc):
         sel = wsel_ref[0, l]
@@ -103,10 +107,10 @@ def _window_kernel(S, l_max, nch, math, nw,
         qn = []
         for ch in range(nch):
             t1 = jnp.take_along_axis(
-                x_ref[base + lwins_ref[0, l, 0], ch], ci, axis=1)
+                x_ref[off + lwins_ref[0, l, 0], ch], ci, axis=1)
             for s in range(1, S):
                 t1s = jnp.take_along_axis(
-                    x_ref[base + lwins_ref[0, l, s], ch], ci, axis=1)
+                    x_ref[off + lwins_ref[0, l, s], ch], ci, axis=1)
                 t1 = jnp.where(sel == s, t1s, t1)
             qn.append(jnp.take_along_axis(t1, rs, axis=0))
         vals = math(qo, qn, [w_ref[0, l, k] for k in range(nw)])
@@ -147,6 +151,7 @@ class PallasWindowFlux:
         self.arrays = arrays if arrays is not None else {
             "base": jnp.asarray(f(plan.base_win), jnp.int32),
             "nl": jnp.asarray(f(plan.layer_count), jnp.int32),
+            "own": jnp.asarray(f(plan.own_local), jnp.int32),
             "lwins": jnp.asarray(f(plan.layer_wins), jnp.int32),
             "wsel": jnp.asarray(f(plan.wsel), jnp.int32),
             "ci": jnp.asarray(f(plan.col_idx), jnp.int32),
@@ -181,15 +186,30 @@ class PallasWindowFlux:
 
         grid = (plan.n_win,)
         S, l_max = plan.n_src, plan.l_max
+        # Whole-X VMEM residency is fastest to compile and run, but
+        # breaks down at multi-million-node meshes (the 8M-edge mesh's
+        # 76 MB state crashed the Mosaic compile helper). Above a
+        # comfortable threshold, switch to element-granular kw-wide
+        # neighborhood blocks (pl.Element starts from the scalar-
+        # prefetched base) — same kernel body, ~24x slower compiles,
+        # so only when needed.
+        whole_x = plan.src_windows * nch * 4096 <= 24 * 2 ** 20
         kernel = functools.partial(_window_kernel, S, l_max, nch, math,
-                                   nw)
+                                   nw, not whole_x)
+        if whole_x:
+            x_spec = pl.BlockSpec(Xw.shape, lambda w, *_: (0, 0, 0, 0))
+        else:
+            x_spec = pl.BlockSpec(
+                (pl.Element(plan.kw), pl.Element(nch), pl.Element(8),
+                 pl.Element(128)),
+                lambda w, base, *_: (base[w], 0, 0, 0))
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec(Xw.shape, lambda w, *_: (0, 0, 0, 0)),
+                    x_spec,
                     pl.BlockSpec((1, l_max, S), lambda w, *_: (w, 0, 0)),
                     pl.BlockSpec((1, l_max, 8, 128),
                                  lambda w, *_: (w, 0, 0, 0)),
@@ -206,7 +226,8 @@ class PallasWindowFlux:
             out_shape=jax.ShapeDtypeStruct((plan.n_win, 5, 8, 128),
                                            self.dtype),
             interpret=self.interpret,
-        )(arrays["base"], arrays["nl"], Xw, arrays["lwins"],
-          arrays["wsel"], arrays["ci"], arrays["rs"], arrays["w4"])
+        )(arrays["base"], arrays["nl"], arrays["own"], Xw,
+          arrays["lwins"], arrays["wsel"], arrays["ci"], arrays["rs"],
+          arrays["w4"])
         # back to (5, P)
         return out.transpose(1, 0, 3, 2).reshape(5, P)

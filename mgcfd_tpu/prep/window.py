@@ -138,10 +138,14 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
 
     if kw is None:
         # cover the realized window span of most half-edges TWO-SIDED
-        # (the neighborhood is centred on the anchor), clamped for VMEM
+        # (the neighborhood is centred on the anchor). The clamp bounds
+        # the kernel's neighborhood block (kw x 32 KB of VMEM per grid
+        # step in element-blocked mode — 64 windows = 2 MB, comfortable;
+        # spans beyond it spill): wide-span meshes like coarse-delta
+        # boxes need kw ~ 2x(span/1024).
         span = np.abs(anchor[ow] - gw)
         need = int(np.percentile(span, 99.5)) + 1 if H else 1
-        kw = int(min(n_win_src, max(2, min(28, 2 * need + 1))))
+        kw = int(min(n_win_src, max(2, min(64, 2 * need + 1))))
     else:
         kw = int(min(kw, n_win_src))
 
@@ -408,9 +412,15 @@ _PLAN_SCALARS = ["n_win", "kw", "l_max", "n_src", "num_half_edges",
                  "num_spilled_edges", "n_win_src"]
 
 
+# bump when the packer's layout/heuristics change: the content key
+# includes it so stale cached plans are rebuilt, not silently reused
+PLAN_FORMAT_VERSION = 3
+
+
 def _content_key(arrays) -> str:
     import hashlib
     h = hashlib.sha1()
+    h.update(str(PLAN_FORMAT_VERSION).encode())
     for a in arrays:
         a = np.ascontiguousarray(a)
         h.update(str(a.dtype).encode())
