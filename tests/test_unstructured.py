@@ -143,3 +143,59 @@ def test_golden_tet_multigrid(tmp_path):
                                        include_indirect_rw=False))
     s.run(cycles)
     identify_differences(s.variables(0), ref_vars, mesh.variant)
+
+
+def test_window_mode_with_forced_spill(tet_mesh, monkeypatch):
+    """The flagship tet plans spill nothing, so force spill (tiny kw)
+    and prove the cycle's segment spill path integrates correctly."""
+    import mgcfd_tpu.prep.window as W
+    from mgcfd_tpu.prep.renumber import renumber_hierarchy
+    rn = renumber_hierarchy(tet_mesh)
+    orig = W.build_window_plan
+
+    def tiny_kw(lvl, kw=None, l_cap=64):
+        return orig(lvl, kw=1, l_cap=8)   # heavy spill by construction
+
+    monkeypatch.setattr(W, "build_window_plan", tiny_kw)
+    ref = MGCFDSolver(rn, SolverConfig(dtype="float64",
+                                       accumulate="segment",
+                                       include_indirect_rw=False))
+    ref.run(2)
+    s = MGCFDSolver(rn, SolverConfig(dtype="float64", accumulate="window",
+                                     include_indirect_rw=False))
+    lvl0 = s.dmesh.levels[0]
+    assert lvl0.shift[2][0].shape[0] > 0   # spill edges present
+    s.run(2)
+    np.testing.assert_allclose(s.variables(0), ref.variables(0),
+                               rtol=1e-11, atol=1e-14)
+
+
+def test_cli_window_mode_end_to_end(tmp_path, capsys):
+    """CLI drive of the windowed path: .dat dataset -> --renumber ->
+    --accumulate window -> dumps, on the CPU interpret backend."""
+    from mgcfd_tpu.cli.main import main as cli_main
+    from mgcfd_tpu.mesh import (write_grid_dat, write_input_dat,
+                                write_mg_connectivity)
+    mesh = generate_unstructured_hierarchy(7, 7, 7, 2, seed=4)
+    d = tmp_path
+    files, mgs = [], []
+    for i, lvl in enumerate(mesh.levels):
+        write_grid_dat(str(d / f"level{i}.dat"), lvl, mesh.variant,
+                       write_coords=True)
+        files.append(f"level{i}.dat")
+        if lvl.mg_mapping is not None:
+            write_mg_connectivity(str(d / f"mg{i}.dat"), lvl.mg_mapping)
+            mgs.append(f"mg{i}.dat")
+    write_input_dat(str(d / "input.dat"), mesh, files, mgs)
+    rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "2",
+                   "-o", str(d) + "/", "--dtype", "float64",
+                   "--renumber", "--accumulate", "window",
+                   "--plan-cache", str(d / "plans"),
+                   "--output-variables"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "MG cycle 2 / 2" in out
+    dumped = d / "variables.size=1x.cycles=2.level=0"
+    assert dumped.exists()
+    import os
+    assert any(f.endswith(".npz") for f in os.listdir(d / "plans"))
