@@ -542,6 +542,16 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
     invalid = jnp.int32(0)
     rw_token = jnp.zeros((), variables.dtype)
     for j in range(RK):
+        if config.flux_cripple:
+            # crippled twin runs first with discarded writes
+            # (euler3d:399-418), same as the node-major visit; its
+            # gathers go over the full edge stream (a diagnostic — cost
+            # only paid when the flag is on)
+            v_nm = q.T
+            crippled = internal_edge_flux_crippled(
+                v_nm[lvl.edge_a], v_nm[lvl.edge_b], lvl.edge_w)
+            rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
+                (), variables.dtype)
         flux = t_compute_fluxes(lvl, q, ff_flux, config)
         from ..ops import tops
         q = tops.t_time_step(j, sf, flux, old)

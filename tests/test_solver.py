@@ -114,3 +114,22 @@ def test_precompute_edge_weights_matches():
     b.run(cycles=2)
     np.testing.assert_allclose(a.variables(0), b.variables(0),
                                rtol=1e-12, atol=1e-16)
+
+
+def test_flux_cripple_transposed_side_effect_free():
+    """--flux-cripple under the transposed/window layouts runs the
+    crippled twin (token-consumed) without changing the solution —
+    previously the flag was silently ignored on those paths."""
+    import numpy as np
+    from mgcfd_tpu.mesh import generate_multigrid_box
+    mesh = generate_multigrid_box(6, 6, 6, 2, h=(0.1, 0.1, 0.1))
+    for acc, extra in (("shift", {"transposed": True}), ("window", {})):
+        a = MGCFDSolver(mesh, SolverConfig(dtype="float64", accumulate=acc,
+                                           include_indirect_rw=False,
+                                           **extra))
+        a.run(2)
+        b = MGCFDSolver(mesh, SolverConfig(dtype="float64", accumulate=acc,
+                                           include_indirect_rw=False,
+                                           flux_cripple=True, **extra))
+        b.run(2)
+        np.testing.assert_array_equal(a.variables(0), b.variables(0))
