@@ -37,6 +37,11 @@ from ..prep.window import WIN, WindowPlan
 
 NCH = 8  # rho, mx, my, mz, E, p, s(=speed+sos), inv_rho
 
+# Above this X-array footprint the kernel switches from whole-array VMEM
+# residency to pl.Element kw-wide neighborhood blocks (see __call__);
+# module-level so tests can force the blocked path on small meshes.
+WHOLE_X_LIMIT_BYTES = 24 * 2 ** 20
+
 
 def _flux_math(qo, qn, w0, w1, w2, wt):
     """Per-slot edge flux value (5 channels), owner-oriented.
@@ -193,7 +198,7 @@ class PallasWindowFlux:
         # neighborhood blocks (pl.Element starts from the scalar-
         # prefetched base) — same kernel body, ~24x slower compiles,
         # so only when needed.
-        whole_x = plan.src_windows * nch * 4096 <= 24 * 2 ** 20
+        whole_x = plan.src_windows * nch * 4096 <= WHOLE_X_LIMIT_BYTES
         kernel = functools.partial(_window_kernel, S, l_max, nch, math,
                                    nw, not whole_x)
         if whole_x:

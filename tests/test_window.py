@@ -166,3 +166,21 @@ def test_prolong_plan_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(d1["dense_local"], d2["dense_local"])
     np.testing.assert_array_equal(d1["parent"], d2["parent"])
     np.testing.assert_array_equal(d1["coincident"], d2["coincident"])
+
+
+def test_element_blocked_path_matches(tet_level, plan, monkeypatch):
+    """Force the pl.Element neighborhood-blocked X path (normally only
+    taken on multi-million-node meshes) and match the whole-X result."""
+    import mgcfd_tpu.pallas.flux_window as FW
+    N, P = tet_level.num_nodes, plan.padded_nodes
+    rng = np.random.default_rng(1)
+    ffq, _ = far_field_state(np.float64)
+    q = np.tile(ffq[:, None], (1, P))
+    q[:, :N] *= (1 + 0.05 * rng.standard_normal((5, N)))
+    q = jnp.asarray(q)
+    whole = np.asarray(FW.PallasWindowFlux(plan, N, dtype=q.dtype,
+                                           interpret=True)(q))
+    monkeypatch.setattr(FW, "WHOLE_X_LIMIT_BYTES", 0)
+    blocked = np.asarray(FW.PallasWindowFlux(plan, N, dtype=q.dtype,
+                                             interpret=True)(q))
+    np.testing.assert_array_equal(whole, blocked)
