@@ -54,14 +54,21 @@ def _merged(profile: dict) -> dict:
     return cfg
 
 
-def flag_sets(flags: list[str], min_size: int) -> list[tuple[str, ...]]:
+def flag_sets(flags: list[str], min_size: int,
+              accumulate: str = "segment") -> list[tuple[str, ...]]:
     """Powerset of flux flags, pruned: FLUX_CRIPPLE excludes all other
     flux flags (it replaces the arithmetic, so combinations are
-    meaningless — same pruning as the reference's generator)."""
+    meaningless — same pruning as the reference's generator), and
+    FLUX_FISSION only exists on the edge-stream accumulate modes (the
+    shift/pallas/window kernels have no per-edge store phase; the solver
+    rejects the combination, SolverConfig.validate)."""
     out = []
+    fission_ok = accumulate in ("segment", "scatter", "ell")
     for r in range(min_size, len(flags) + 1):
         for combo in itertools.combinations(flags, r):
             if "FLUX_CRIPPLE" in combo and len(combo) > 1:
+                continue
+            if "FLUX_FISSION" in combo and not fission_ok:
                 continue
             out.append(combo)
     return out
@@ -92,10 +99,10 @@ def generate_jobs(profile_path: str, repo_root: str | None = None) -> str:
     os.makedirs(jobs_dir, exist_ok=True)
 
     job_dirs = []
-    for dtype, acc, flags, parts in itertools.product(
-            comp["dtypes"], comp["accumulate"],
-            flag_sets(comp["flux flags"], comp["min flag set size"]),
-            run["partitions"]):
+    for dtype, acc, parts in itertools.product(
+            comp["dtypes"], comp["accumulate"], run["partitions"]):
+      for flags in flag_sets(comp["flux flags"],
+                             comp["min flag set size"], acc):
         for repeat in range(run["num repeats"]):
             name = job_name(dtype, acc, flags, parts, repeat)
             jdir = os.path.join(jobs_dir, name)

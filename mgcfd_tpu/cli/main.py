@@ -281,7 +281,15 @@ def main(argv=None) -> int:
         else:
             vars0 = solver.variables(0)
             sol = read_solution(sol_path, vars0.shape[0])
-            identify_differences(vars0, sol, mesh.variant)
+            from ..validate.golden import ValidationError
+            try:
+                identify_differences(vars0, sol, mesh.variant)
+            except ValidationError as e:
+                # reference ergonomics (validation.cpp:188-196): report
+                # the offending value and exit EXIT_FAILURE cleanly —
+                # no traceback
+                print(f"Validation of variables[] failed: {e}")
+                return 1
             print("PASS: variables[] validated successfully")
 
     # --- dumps (finest level only, euler3d:749-772) ---

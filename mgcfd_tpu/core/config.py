@@ -49,6 +49,9 @@ class SolverConfig:
     # --- TPU-specific policy (new; no reference counterpart) ---
     dtype: str = "float32"            # float64 for validation, float32/bf16 perf
     accumulate: str = "segment"       # 'segment'|'scatter'|'ell'|'shift'|'pallas'
+    fuse_stage: bool = True           # accumulate='pallas': run the whole RK
+    # stage (flux + boundary/wall + time_step + NaN count) as ONE kernel
+    # launch; False falls back to the separate-kernel pipeline
     transposed: bool = False          # (NVAR, N) state layout inside the RK
     # loop (lane-major; needs accumulate='shift')
     mg_gather: bool = True            # gather-transpose restrict/prolong
@@ -58,6 +61,27 @@ class SolverConfig:
     check_invalid_every: int = 1      # host-side NaN-guard cadence (cycles)
     num_partitions: int = 1           # SPMD shards (parallel/)
     monitor_mode: str = "fused"       # 'fused' | 'instrumented'
+
+    def validate(self) -> None:
+        """Reject configurations that would silently ignore a requested
+        kernel variant (VERDICT r02 #6). FLUX_FISSION is the reference's
+        explicit per-edge-store + update two-phase split
+        (flux_loops.cpp:120-123, cfd_loops.cpp:159-213); the
+        shift/pallas/window formulations have no per-edge store phase at
+        all — honoring the flag there is meaningless, and emitting a CSV
+        identification row claiming 'Flux fission: Y' for a run that
+        ignored it would corrupt sweep analyses. The edge-stream modes
+        (segment/scatter/ell) are fission-structured and honor it."""
+        if self.flux_fission and (
+                self.accumulate in ("shift", "pallas", "window")
+                or self.transposed):
+            how = (f"accumulate='{self.accumulate}'"
+                   + (" with transposed state" if self.transposed else ""))
+            raise ValueError(
+                f"flux_fission is undefined for {how}: these "
+                "formulations have no per-edge store phase. Use "
+                "accumulate='segment' (structurally fission) or drop "
+                "the flag.")
 
     def flux_options_string(self) -> str:
         """CSV 'Flux options' field (io_enhanced.cpp:895-908 semantics)."""

@@ -13,6 +13,13 @@ The kernels timed here are the SAME dispatch the fused solver runs
 config selects the transposed layout, the pallas megakernel, gather or
 structured MG transfers, Times.csv attributes those — not a slower
 reference formulation (the production configuration is what users run).
+One deliberate exception: `fuse_stage` (the whole-RK-stage megakernel,
+pallas/flux_shift.PallasFusedStage) is ignored here — a single fused
+launch is per-kernel-unattributable by construction, so instrumented
+runs time the separate flux / time_step / invalid dispatches that the
+fused kernel folds together (the per-kernel split is this monitor's
+entire purpose; whole-cycle wall time of the fused configuration comes
+from the fused solver / bench.py).
 
 Caveat for remote-tunnelled TPUs (this dev environment): every
 block_until_ready round-trip costs ~30 ms of dispatch latency, which

@@ -279,3 +279,178 @@ def pallas_shift_flux(plan, num_nodes, dtype=jnp.float32,
                       interpret: bool = False) -> PallasShiftFlux:
     return PallasShiftFlux(plan.deltas, plan.weights, num_nodes,
                            dtype=dtype, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# fused RK stage: flux + dense boundary/wall + time_step + invalid count
+# in ONE kernel pass (the reference's per-stage sequence,
+# euler3d_cpu_double.cpp:383-512, collapses to a single device launch).
+# The separate-kernel pipeline was measured launch-gap-bound on the v5e
+# (~4.1 ms device-busy vs 12.0 ms wall per cycle, BASELINE.md): each RK
+# stage ran flux kernel -> spill segment op -> dense bd/wall fusion ->
+# time_step fusion -> invalid reduce, five dispatches streaming the state
+# five times. Here one grid pass reads the halo'd state window once and
+# writes the UPDATED state, with the invalid count accumulated into an
+# SMEM scalar across grid steps (sequential TPU grid).
+# ---------------------------------------------------------------------------
+
+
+def _bw_flux(qc, nc):
+    """Dense aggregated boundary+wall flux on the current block
+    (ops.tops.t_dense_boundary_wall_flux semantics, open-coded):
+    nc rows 0:3 = summed boundary normals, 3:6 = summed wall normals,
+    6:11 = precomputed far-field wall constant."""
+    rho = qc[0]
+    inv = 1.0 / rho
+    vx, vy, vz = qc[1] * inv, qc[2] * inv, qc[3] * inv
+    p = (GAMMA - 1.0) * (qc[4] - 0.5 * rho * (vx * vx + vy * vy
+                                              + vz * vz))
+    bx, by, bz = nc[0], nc[1], nc[2]
+    hx, hy, hz = 0.5 * nc[3], 0.5 * nc[4], 0.5 * nc[5]
+    de_p = qc[4] + p
+    mx, my, mz = qc[1], qc[2], qc[3]
+    rows = (
+        hx * mx + hy * my + hz * mz,
+        bx * p + hx * (vx * mx + p) + hy * (vx * my) + hz * (vx * mz),
+        by * p + hx * (vy * mx) + hy * (vy * my + p) + hz * (vy * mz),
+        bz * p + hx * (vz * mx) + hy * (vz * my) + hz * (vz * mz + p),
+        hx * (vx * de_p) + hy * (vy * de_p) + hz * (vz * de_p),
+    )
+    return jnp.stack([rows[v] + nc[6 + v] for v in range(5)], axis=0)
+
+
+def _fused_kernel(deltas, bn, num_nodes, interpret, have_spill, refs):
+    """One RK stage on one node block. refs (in order): q windows
+    (prev/cur/next), span weights (prev/cur), nc (node constants), old
+    state block, fac (= step_factor / (RK+1-j)) block, [spill block],
+    out state block, out invalid count (SMEM)."""
+    from jax.experimental import pallas as pl
+
+    if have_spill:
+        (q_prev, q_cur, q_next, w_prev, w_cur, nc_ref, old_ref, fac_ref,
+         spill_ref, out_ref, inv_ref) = refs
+    else:
+        (q_prev, q_cur, q_next, w_prev, w_cur, nc_ref, old_ref, fac_ref,
+         out_ref, inv_ref) = refs
+        spill_ref = None
+
+    h = bn
+    win = jnp.concatenate([q_prev[:], q_cur[:], q_next[:]], axis=1)
+    node = (jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+            + (pl.program_id(0) - 1) * bn)
+    row = jax.lax.broadcasted_iota(jnp.int32, win.shape, 0)
+    quies = jnp.where((row == 0) | (row == 4), 1.0, 0.0).astype(win.dtype)
+    win = jnp.where((node >= 0) & (node < num_nodes), win, quies)
+    wwin = jnp.concatenate([w_prev[:], w_cur[:]], axis=2)
+    acc = jnp.zeros_like(out_ref)
+    for di, d in enumerate(deltas):
+        pad = _ceil128(d)
+        s = h - pad
+        L = bn + pad
+        qa = win[:, s: s + L]
+        qb = _lane_roll(win, -d, interpret)[:, s: s + L]
+        ew = wwin[di, :3, s: s + L]
+        val = _edge_val(qa, qb, ew)
+        acc = (acc + val[:, pad: pad + bn]
+               - _lane_roll(val, d, interpret)[:, pad: pad + bn])
+    # dense boundary/wall on the current block (nc is zero on pad lanes)
+    acc = acc + _bw_flux(win[:, h:2 * h], nc_ref[:])
+    if spill_ref is not None:
+        acc = acc + spill_ref[:]
+    qnew = old_ref[:] + fac_ref[:] * acc
+    out_ref[...] = qnew
+    # invalid-state count (validation.cpp:107-138): NaN/Inf anywhere,
+    # negative density or energy; pad lanes hold finite far-field gas
+    bad = (jnp.sum((~jnp.isfinite(qnew)).astype(jnp.int32))
+           + jnp.sum((qnew[0] < 0).astype(jnp.int32))
+           + jnp.sum((qnew[4] < 0).astype(jnp.int32)))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        inv_ref[0, 0] = 0
+
+    inv_ref[0, 0] += bad
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("deltas", "bn", "num_nodes",
+                                    "interpret"))
+def _fused_call(q_pad, w_pad, nc, old, fac, spill, deltas, bn, num_nodes,
+                interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, total = q_pad.shape
+    k = total // bn
+    d_count = w_pad.shape[0]
+    have_spill = spill is not None
+
+    kern = functools.partial(_fused_kernel, deltas, bn, num_nodes,
+                             interpret, have_spill)
+
+    def body(*refs):
+        kern(refs)
+
+    in_specs = [
+        pl.BlockSpec((rows, bn), lambda i: (0, jnp.maximum(i - 1, 0))),
+        pl.BlockSpec((rows, bn), lambda i: (0, i)),
+        pl.BlockSpec((rows, bn), lambda i: (0, jnp.minimum(i + 1, k - 1))),
+        pl.BlockSpec((d_count, 4, bn), lambda i: (0, 0, i)),
+        pl.BlockSpec((d_count, 4, bn), lambda i: (0, 0, i + 1)),
+        pl.BlockSpec((11, bn), lambda i: (0, i)),
+        pl.BlockSpec((rows, bn), lambda i: (0, i)),
+        pl.BlockSpec((1, bn), lambda i: (0, i)),
+    ]
+    args = [q_pad, q_pad, q_pad, w_pad, w_pad, nc, old, fac]
+    if have_spill:
+        in_specs.append(pl.BlockSpec((rows, bn), lambda i: (0, i)))
+        args.append(spill)
+    out, inv = pl.pallas_call(
+        body,
+        grid=(k,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((rows, bn), lambda i: (0, i)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, k * bn), q_pad.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out, inv[0, 0]
+
+
+class PallasFusedStage:
+    """One fused RK stage for one mesh level (shift-decomposition spans).
+
+    __call__(q, old, fac, spill=None) with lane-padded variable-major
+    arrays: q/old (5, padded), fac (padded,) = step_factor/(RK+1-j),
+    spill (5, padded) precomputed spill-edge accumulation or None.
+    Returns (q_next, invalid_count). The caller supplies the per-visit
+    step factor (its global min needs a cross-block reduction) and the
+    spill segment stream; everything else of the reference's stage
+    sequence happens inside the kernel."""
+
+    def __init__(self, base: PallasShiftFlux, bd_normal, wall_normal,
+                 wall_const, dtype=jnp.float32):
+        num_nodes = base.num_nodes
+        self.deltas = base.deltas
+        self.bn = base.bn
+        self.padded = base.padded
+        self.num_nodes = num_nodes
+        self.interpret = base.interpret
+        self.w_pad = base.w_pad   # shared device buffer with the base kernel
+        nc = np.zeros((11, self.padded), dtype=dtype)
+        nc[0:3, :num_nodes] = np.asarray(bd_normal)[:, :num_nodes]
+        nc[3:6, :num_nodes] = np.asarray(wall_normal)[:, :num_nodes]
+        nc[6:11, :num_nodes] = np.asarray(wall_const)[:, :num_nodes]
+        self.nc = jnp.asarray(nc)
+
+    def __call__(self, q, old, fac, spill=None):
+        assert q.shape[1] == self.padded
+        return _fused_call(q, self.w_pad, self.nc, old, fac[None],
+                           spill, self.deltas, self.bn, self.num_nodes,
+                           self.interpret)

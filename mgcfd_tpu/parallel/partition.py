@@ -93,9 +93,23 @@ class ShardedLevelData:
     # stream's shift coverage: its own full destination stream
     pro_dest_a: np.ndarray | None = None   # (P, Efull) int32 combined idx
     pro_dest_b: np.ndarray | None = None   # (P, Efull)
+    # windowed-gather production kernel, sharded (accumulate='window' /
+    # 'pallas'): per-shard plans over the HALF-EDGES DESTINED TO LOCAL
+    # NODES (both halves of intra-shard edges + the local half of cross
+    # edges — the foreign half is recomputed by the neighbor shard from
+    # the gathered halo, exact by antisymmetry), packed in the combined
+    # [block | halo pool] neighbor space. Accumulation is fully local:
+    # the flux path has NO return scatter collective.
+    win_template: object | None = None     # WindowPlan (common shapes)
+    win_arrays: dict | None = None         # stacked (P, ...) plan arrays
+    win_spill_dest: np.ndarray | None = None  # (P, Hs) i32 local dest
+    win_spill_src: np.ndarray | None = None   # (P, Hs) i32 combined src
+    win_spill_w: np.ndarray | None = None     # (P, Hs, 3) signed normal
+    win_stats: list | None = None          # per-shard plan statistics
     # sizes
     num_nodes: int = 0
-    block: int = 0
+    block: int = 0        # storage width (window-rounded in window mode)
+    part_width: int = 0   # partition width: node i belongs to shard i//part_width
     smax: int = 0
 
     @property
@@ -113,9 +127,21 @@ class ShardedMeshData:
 def partition_level(lvl: MeshLevel, P: int,
                     use_shift: bool = False,
                     shift_max_deltas: int = 8,
-                    shift_min_density: float = 0.01) -> ShardedLevelData:
+                    shift_min_density: float = 0.01,
+                    use_window: bool = False,
+                    plan_cache_dir: str = "",
+                    window_l_cap: int = 64) -> ShardedLevelData:
     n = lvl.num_nodes
     B = -(-n // P)
+    # storage width: the windowed kernel's owner space is whole (8,128)
+    # vreg windows, so window mode rounds the per-shard block up to a
+    # WIN multiple (assignment still uses B — blocks stay balanced; the
+    # tail rows of each block are inert padding)
+    if use_window:
+        from ..prep.window import WIN
+        Bs = -(-B // WIN) * WIN
+    else:
+        Bs = B
 
     def part(idx):
         return np.minimum(idx // B, P - 1)
@@ -142,7 +168,7 @@ def partition_level(lvl: MeshLevel, P: int,
         int(d) for d in order_d[:shift_max_deltas]
         if d > 0 and cnt[d] >= max(1, shift_min_density * n)]
     covered = np.zeros(ea.shape[0], dtype=bool)
-    shift_w = np.zeros((P, max(1, len(deltas)), B, 3))
+    shift_w = np.zeros((P, max(1, len(deltas)), Bs, 3))
     for di, d in enumerate(deltas):
         sel = np.flatnonzero(eligible & (span == d) & ~covered)
         la = local(ea[sel])
@@ -161,19 +187,23 @@ def partition_level(lvl: MeshLevel, P: int,
     shift_wpad = None
     if deltas:
         D = len(deltas)
-        shift_wpad = np.zeros((P, 4, D * B))
+        shift_wpad = np.zeros((P, 4, D * Bs))
         for di in range(D):
-            shift_wpad[:, :3, di * B:(di + 1) * B] = \
+            shift_wpad[:, :3, di * Bs:(di + 1) * Bs] = \
                 shift_w[:, di].transpose(0, 2, 1)
-            shift_wpad[:, 3, di * B:(di + 1) * B] = np.sqrt(
+            shift_wpad[:, 3, di * Bs:(di + 1) * Bs] = np.sqrt(
                 (shift_w[:, di] ** 2).sum(axis=2))
 
-    # --- separator sets: nodes referenced by edges owned elsewhere ---
+    # --- separator sets: BOTH endpoints of cross edges. The scatter-
+    # return paths (shift/segment flux, prolong) only reference the b
+    # side (a is always local to the edge owner), but the gather-only
+    # windowed path recomputes the into-b half on part(b) from the halo,
+    # which needs the a side in the pool too. One definition serves all
+    # paths (extra entries just ride the all_gather unused).
     sep_sets = [set() for _ in range(P)]
     cross = pa != pb
-    # b endpoints of cross edges are owned by part(b) but referenced by
-    # the edge owner (= part(a)); a endpoints are always local to owner.
-    for node in np.unique(lvl.edge_b[cross]):
+    for node in np.unique(np.concatenate(
+            [lvl.edge_a[cross], lvl.edge_b[cross]])):
         sep_sets[int(part(np.int64(node)))].add(int(node))
     sep_lists = [np.array(sorted(s), dtype=np.int64) for s in sep_sets]
     smax = max(1, max(len(s) for s in sep_lists))
@@ -188,11 +218,11 @@ def partition_level(lvl: MeshLevel, P: int,
         _pad_to(np.ones(len(s)), smax, 0.0) for s in sep_lists])
 
     def combined_index(node_arr, owner_arr):
-        """Index into [block (B) | pool (P*Smax)] for each (node, owner)."""
+        """Index into [block (Bs) | pool (P*Smax)] for each (node, owner)."""
         node_part = part(node_arr)
         is_local = node_part == owner_arr
         loc = local(node_arr)
-        pool = B + node_part * smax + np.array(
+        pool = Bs + node_part * smax + np.array(
             [sep_rank.get(int(x), 0) for x in node_arr], dtype=np.int64)
         return np.where(is_local, loc, pool).astype(np.int32)
 
@@ -240,9 +270,9 @@ def partition_level(lvl: MeshLevel, P: int,
         pro_dest_b[p, :m] = combined_index(eb[sel], np.full(m, p))
 
     # --- node block data ---
-    volumes = np.ones((P, B))
-    node_mask = np.zeros((P, B))
-    coords = np.zeros((P, B, 3)) if lvl.coords is not None else None
+    volumes = np.ones((P, Bs))
+    node_mask = np.zeros((P, Bs))
+    coords = np.zeros((P, Bs, 3)) if lvl.coords is not None else None
     for p in range(P):
         lo, hi = p * B, min((p + 1) * B, n)
         volumes[p, :hi - lo] = lvl.volumes[lo:hi]
@@ -250,15 +280,15 @@ def partition_level(lvl: MeshLevel, P: int,
         if coords is not None:
             coords[p, :hi - lo] = lvl.coords[lo:hi]
 
-    dense_bd = np.zeros((P, B, 3))
-    dense_wl = np.zeros((P, B, 3))
+    dense_bd = np.zeros((P, Bs, 3))
+    dense_wl = np.zeros((P, Bs, 3))
     for arr, idx_all, w_all in ((dense_bd, lvl.bedge_b, lvl.bedge_w),
                                  (dense_wl, lvl.wedge_b, lvl.wedge_w)):
         p_of = part(idx_all.astype(np.int64))
         loc = local(idx_all.astype(np.int64))
         np.add.at(arr, (p_of, loc), w_all)
 
-    return ShardedLevelData(
+    sl = ShardedLevelData(
         volumes=volumes, node_mask=node_mask, coords=coords,
         dense_bd=dense_bd, dense_wl=dense_wl,
         edge_a=edge_a, edge_b=edge_b, edge_w=edge_w,
@@ -267,21 +297,130 @@ def partition_level(lvl: MeshLevel, P: int,
         mg_mapping=None, mg_counts=None, mg_mapped=None, coincident=None,
         shift_deltas=deltas, shift_w=shift_w, shift_wpad=shift_wpad,
         pro_dest_a=pro_dest_a, pro_dest_b=pro_dest_b,
-        num_nodes=n, block=B, smax=smax)
+        num_nodes=n, block=Bs, part_width=B, smax=smax)
+    if use_window:
+        _attach_window_plans(sl, lvl, P, part, local, combined_index,
+                             plan_cache_dir, window_l_cap)
+    return sl
 
 
-def partition_mesh(mesh, P: int, use_shift: bool = False) -> ShardedMeshData:
+def _attach_window_plans(sl: ShardedLevelData, lvl: MeshLevel, P: int,
+                         part, local, combined_index,
+                         plan_cache_dir: str, l_cap: int) -> None:
+    """Per-shard windowed-gather plans over locally-destined half-edges.
+
+    Shard p's half-edge set = {into-a halves of edges with part(a)=p}
+    ∪ {into-b halves with part(b)=p, weight -w}: every accumulation is
+    local, and foreign NEIGHBOR state arrives via the gathered halo pool
+    (the combined [block | pool] space is the plan's neighbor space —
+    prep/window.build_halfedge_plan cross-space mode, anchored at the
+    owner's own window since the owner space is a prefix of it).
+    Unplaced halves spill to a per-shard indexed half-edge stream."""
+    from ..prep.window import (WIN, build_halfedge_plan, cached_plan,
+                               needed_kw)
+    Bs = sl.block
+    smax = sl.smax
+    pool = P * smax
+    n_win = Bs // WIN
+    n_nbr = Bs + pool
+    n_win_src = -(-n_nbr // WIN)
+    anchor = np.arange(n_win)
+    ea = lvl.edge_a.astype(np.int64)
+    eb = lvl.edge_b.astype(np.int64)
+    pa, pb = part(ea), part(eb)
+    halves = []
+    for p in range(P):
+        sa = pa == p
+        sb = pb == p
+        owner = np.concatenate([local(ea[sa]), local(eb[sb])])
+        nbr_global = np.concatenate([eb[sa], ea[sb]])
+        nbr = combined_index(nbr_global,
+                             np.full(nbr_global.shape[0], p)).astype(
+            np.int64)
+        w3 = np.concatenate([lvl.edge_w[sa], -lvl.edge_w[sb]])
+        halves.append((owner.astype(np.int64), nbr, w3))
+    # one kw across shards: the stacked plans share kernel shapes
+    kw = max(needed_kw(o, nb, anchor, n_win_src) for o, nb, _ in halves)
+
+    plans = []
+    spill = []
+    for p, (o, nb, w3) in enumerate(halves):
+        ewt = np.sqrt((w3 ** 2).sum(axis=1))
+        wcols = np.concatenate([w3, ewt[:, None]], axis=1)
+
+        def build(o=o, nb=nb, wcols=wcols, w3=w3):
+            plan, ok = build_halfedge_plan(
+                Bs, o, nb, wcols, kw=kw, l_cap=l_cap,
+                num_nbr_nodes=n_nbr, anchor=anchor)
+            plan.spill_a = o[~ok].astype(np.int32)    # local dest
+            plan.spill_b = nb[~ok].astype(np.int32)   # combined src
+            plan.spill_w = w3[~ok]
+            plan.num_spilled_edges = int((~ok).sum())
+            return plan
+
+        plans.append(cached_plan(
+            plan_cache_dir, f"shardflux-p{p}of{P}",
+            (o, nb, wcols, np.asarray([Bs, pool, kw, l_cap])), build))
+
+    l_max = max(pl.l_max for pl in plans)
+    hs = max(1, max(pl.spill_a.shape[0] for pl in plans))
+
+    def padl(a, target_l):
+        padw = [(0, 0)] * a.ndim
+        padw[1] = (0, target_l - a.shape[1])
+        return np.pad(a, padw)
+
+    sl.win_arrays = {
+        "base": np.stack([pl.base_win for pl in plans]),
+        "nl": np.stack([pl.layer_count for pl in plans]),
+        "own": np.stack([pl.own_local for pl in plans]),
+        "lwins": np.stack([padl(pl.layer_wins, l_max) for pl in plans]),
+        "wsel": np.stack([padl(pl.wsel, l_max) for pl in plans]),
+        "ci": np.stack([padl(pl.col_idx, l_max) for pl in plans]),
+        "rs": np.stack([padl(pl.row_sel, l_max) for pl in plans]),
+        "w4": np.stack([padl(pl.w4, l_max) for pl in plans]),
+    }
+    sl.win_spill_dest = np.stack(
+        [_pad_to(pl.spill_a, hs, 0) for pl in plans])
+    sl.win_spill_src = np.stack(
+        [_pad_to(pl.spill_b, hs, 0) for pl in plans])
+    sl.win_spill_w = np.stack(
+        [_pad_to(pl.spill_w.reshape(-1, 3), hs, 0.0) for pl in plans])
+    import dataclasses as _dc
+    sl.win_template = _dc.replace(
+        plans[0], l_max=l_max,
+        layer_wins=sl.win_arrays["lwins"][0],
+        wsel=sl.win_arrays["wsel"][0], col_idx=sl.win_arrays["ci"][0],
+        row_sel=sl.win_arrays["rs"][0], w4=sl.win_arrays["w4"][0])
+    sl.win_stats = [
+        {"shard": p, "halves": int(pl.num_half_edges),
+         "spilled_halves": int(pl.num_spilled_edges),
+         "coverage": pl.num_half_edges / max(
+             1, pl.num_half_edges + pl.num_spilled_edges),
+         "layers_max": int(pl.l_max),
+         "layers_mean": float(pl.layer_count.mean()),
+         "slot_fill": pl.slot_fill, "kw": int(pl.kw),
+         "halo_pool_windows": n_win_src - n_win}
+        for p, pl in enumerate(plans)]
+
+
+def partition_mesh(mesh, P: int, use_shift: bool = False,
+                   use_window: bool = False,
+                   plan_cache_dir: str = "") -> ShardedMeshData:
     """Shard the finest level; attach MG bookkeeping to reach the (still
     replicated) level 1."""
     lvl0 = mesh.levels[0]
-    sl = partition_level(lvl0, P, use_shift=use_shift)
+    sl = partition_level(lvl0, P, use_shift=use_shift,
+                         use_window=use_window,
+                         plan_cache_dir=plan_cache_dir)
     if mesh.num_levels > 1:
         coarse = mesh.levels[1]
         mapping = lvl0.mg_mapping
         assert mapping is not None and mapping.shape[0] == lvl0.num_nodes, \
             "sharded multigrid requires a full fine->coarse mapping"
-        B = sl.block
-        mg = np.full((P, B), coarse.num_nodes, dtype=np.int64)
+        B = sl.part_width
+        Bs = sl.block
+        mg = np.full((P, Bs), coarse.num_nodes, dtype=np.int64)
         for p in range(P):
             lo, hi = p * B, min((p + 1) * B, lvl0.num_nodes)
             mg[p, :hi - lo] = mapping[lo:hi]
@@ -291,7 +430,7 @@ def partition_mesh(mesh, P: int, use_shift: bool = False) -> ShardedMeshData:
         sl.mg_counts = counts
         sl.mg_mapped = counts > 0
         # coincidence of fine node with its coarse parent (static geometry)
-        coin = np.zeros((P, B), dtype=bool)
+        coin = np.zeros((P, Bs), dtype=bool)
         full_coin = np.all(lvl0.coords == coarse.coords[mapping], axis=1)
         for p in range(P):
             lo, hi = p * B, min((p + 1) * B, lvl0.num_nodes)
@@ -308,7 +447,7 @@ def _attach_prolong_geometry(sl: ShardedLevelData, lvl0: MeshLevel,
     """Per-owned-edge static prolongation data (see ops.mg.prolong_
     residuals_interpolate for semantics, incl. the reference's a1->b2
     residual quirk which shows up here as id_a1b2 pairing with b1)."""
-    B = sl.block
+    B = sl.part_width
     mapping = lvl0.mg_mapping
     owner = np.minimum(lvl0.edge_a // B, P - 1)
     E = sl.pro_dest_a.shape[1]  # full stream (prolong covers ALL edges)

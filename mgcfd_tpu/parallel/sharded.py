@@ -38,7 +38,7 @@ AXIS = "x"
 
 
 def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
-                   config):
+                   config, wkernels=None):
     """One smoothing pass on the sharded finest level.
     variables: (B, NVAR) block at rest; the RK loop runs VARIABLE-MAJOR
     internally (ops/tops) with the batched-roll shift flux when a plan
@@ -68,6 +68,74 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
     B = variables.shape[0]
     pool_sz = sd.P * sd.smax
     old_t = q
+
+    if wkernels is not None:
+        # ------- windowed-gather production path (gather-only halo) ----
+        # Every half-edge destined to a local node is either packed in
+        # this shard's window plan or in its indexed spill stream; the
+        # foreign halves of cross edges are recomputed by the neighbor
+        # shard (exact by antisymmetry), so the flux has NO return
+        # scatter collective — one all_gather of separator state per
+        # evaluation is the entire halo.
+        from ..ops import tops
+        wflux, wrw = wkernels
+        warrs = {k: const["win_" + k] for k in
+                 ("base", "nl", "own", "lwins", "wsel", "ci", "rs", "w4")}
+        padded_in = wflux.padded_in
+        wsd = const["wsp_dest"]
+
+        def window_exchange(qv):
+            """[local block | all-gathered separator pool], lane-padded
+            to whole windows with a physical state (the channel build
+            computes 1/rho — padding must stay finite; no live slot
+            references the pad lanes)."""
+            sep_vals = qv[:, const["sep_idx"]]          # (5, Smax)
+            pool = jax.lax.all_gather(sep_vals, AXIS)   # (P, 5, Smax)
+            comb = jnp.concatenate(
+                [qv, pool.transpose(1, 0, 2).reshape(NVAR, pool_sz)],
+                axis=1)
+            pad = padded_in - comb.shape[1]
+            if pad:
+                comb = jnp.concatenate(
+                    [comb, jnp.broadcast_to(comb[:, :1], (NVAR, pad))],
+                    axis=1)
+            return comb
+
+        for j in range(RK):
+            comb = window_exchange(q)
+            if config.flux_cripple:
+                # crippled twin first, writes discarded (euler3d:399-418)
+                from ..ops import internal_edge_flux_crippled
+                v_nm = comb.T
+                crippled = internal_edge_flux_crippled(
+                    v_nm[const["edge_a"]], v_nm[const["edge_b"]],
+                    const["edge_w"])
+                rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
+                    (), variables.dtype)
+            flux = wflux(comb, arrays=warrs)            # (5, B)
+            val = tops.t_internal_edge_flux(
+                q[:, wsd], comb[:, const["wsp_src"]], const["wsp_w"].T)
+            flux = flux + tops.t_segment_accumulate(val, wsd, B)
+            flux = flux + tops.t_dense_boundary_wall_flux(
+                q, const["dense_bd"].T, const["dense_wl"].T,
+                const["dense_wlc"].T)
+            q = tops.t_time_step(j, sf, flux, old_t)
+            invalid = invalid + invalid_variables_count(
+                q.T * node_mask[:, None])
+            if config.include_indirect_rw:
+                # faithful twin: same halo gather + windowed rw kernel +
+                # spill stream, token-consumed (zero_fluxes semantics)
+                comb2 = window_exchange(q)
+                tok = jnp.sum(wrw(comb2, arrays=warrs))
+                valr = (q[:, wsd] + comb2[:, const["wsp_src"]]
+                        + jnp.sum(const["wsp_w"].T, axis=0)[None])
+                tok = tok + jnp.sum(
+                    tops.t_segment_accumulate(valr, wsd, B))
+                rw_token = rw_token + tok
+        variables = q.T
+        res = residual(old, variables)
+        return (variables, old, res, jax.lax.psum(invalid, AXIS),
+                rw_token)
 
     def exchange(v):
         """halo in: gather own separator values, all_gather the pool."""
@@ -247,6 +315,34 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
         # per-shard wall far-field constant: 0.5 * W . F_ff, (P, B, 5)
         sharded_const["dense_wlc"] = to_dev(
             0.5 * np.einsum("pbd,dv->pbv", sd.dense_wl, fff))
+    wkernels = None
+    if (config.accumulate in ("window", "pallas")
+            and sd.win_arrays is not None):
+        # per-shard windowed-gather production kernels (the multi-chip
+        # fast path; the box-specialised shift megakernel stays a
+        # single-chip formulation — the window kernel is the general
+        # production kernel and serves both config names here)
+        from ..pallas.flux_window import PallasWindowFlux
+        interp = mesh.devices.flat[0].platform == "cpu"
+        wflux = PallasWindowFlux(sd.win_template, sd.block, dtype=dtype,
+                                 interpret=interp, arrays={})
+        wrw = PallasWindowFlux(sd.win_template, sd.block, dtype=dtype,
+                               interpret=interp, rw=True, arrays={})
+        wkernels = (wflux, wrw)
+        wa = sd.win_arrays
+        sharded_const.update({
+            "win_base": to_dev(wa["base"], jnp.int32),
+            "win_nl": to_dev(wa["nl"], jnp.int32),
+            "win_own": to_dev(wa["own"], jnp.int32),
+            "win_lwins": to_dev(wa["lwins"], jnp.int32),
+            "win_wsel": to_dev(wa["wsel"], jnp.int32),
+            "win_ci": to_dev(wa["ci"], jnp.int32),
+            "win_rs": to_dev(wa["rs"], jnp.int32),
+            "win_w4": to_dev(wa["w4"]),
+            "wsp_dest": to_dev(sd.win_spill_dest, jnp.int32),
+            "wsp_src": to_dev(sd.win_spill_src, jnp.int32),
+            "wsp_w": to_dev(sd.win_spill_w),
+        })
     if sd.mg_mapping is not None:
         sharded_const.update({
             "mg_mapping": to_dev(sd.mg_mapping, jnp.int32),
@@ -285,7 +381,8 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
         def visit_fine(v):
             nonlocal invalid_total
             v, old, r, inv, _tok = _sharded_visit(sd, const, v, ff_flux,
-                                                  legacy, dtype, config)
+                                                  legacy, dtype, config,
+                                                  wkernels=wkernels)
             invalid_total = invalid_total + inv
             return v, r
 
@@ -352,6 +449,7 @@ class ShardedSolver:
     def __init__(self, mgmesh: MultigridMesh, config: SolverConfig,
                  devices=None):
         self.config = config
+        config.validate()
         P_ = config.num_partitions
         devices = devices if devices is not None else jax.devices()[:P_]
         assert len(devices) == P_, (
@@ -371,7 +469,9 @@ class ShardedSolver:
                                     name=mgmesh.name)
 
         self.smesh = partition_mesh(
-            conditioned, P_, use_shift=config.accumulate == "shift")
+            conditioned, P_, use_shift=config.accumulate == "shift",
+            use_window=config.accumulate in ("window", "pallas"),
+            plan_cache_dir=config.plan_cache_dir)
         # replicated coarse hierarchy as single-chip DeviceMesh levels;
         # edge weights are already conditioned, so present them under a
         # variant with no damping to avoid double application:
@@ -464,8 +564,16 @@ class ShardedSolver:
 
     def variables(self, level: int = 0) -> np.ndarray:
         if level == 0:
-            v = np.asarray(self.state["variables0"])
-            return v[:self.smesh.level0.num_nodes]
+            sd = self.smesh.level0
+            # per-shard storage blocks may carry window-rounding padding
+            # at their tails: reassemble by partition width
+            v = np.asarray(self.state["variables0"]).reshape(
+                sd.P, sd.block, NVAR)
+            parts = [v[p, :max(0, min((p + 1) * sd.part_width,
+                                      sd.num_nodes)
+                               - p * sd.part_width)]
+                     for p in range(sd.P)]
+            return np.concatenate(parts, axis=0)
         return np.asarray(self.state["variables_c"][level - 1])
 
 
@@ -490,6 +598,18 @@ def dryrun(n_devices: int) -> None:
     with jax.default_device(devices[0]):
         solver = ShardedSolver(mgmesh, cfg, devices=devices[:n_devices])
         solver.run(cycles=1)
+        # production windowed-gather kernel sharded: a mesh wide enough
+        # that several shards carry real windows and cross-shard halves
+        spec_w = FlagshipSpec(nx=16, ny=12, nz=12, num_levels=2)
+        cfg_w = SolverConfig(dtype="float32", num_partitions=n_devices,
+                             accumulate="window",
+                             include_indirect_rw=True)
+        solver_w = ShardedSolver(flagship_mesh(spec_w), cfg_w,
+                                 devices=devices[:n_devices])
+        solver_w.run(cycles=1)
     assert np.isfinite(solver.rms_history[-1])
+    assert np.isfinite(solver_w.rms_history[-1])
+    assert solver_w.smesh.level0.win_arrays is not None
     print(f"dryrun_multichip({n_devices}): ok, "
-          f"rms={solver.rms_history[-1]:.3e}")
+          f"rms={solver.rms_history[-1]:.3e}, "
+          f"window rms={solver_w.rms_history[-1]:.3e}")

@@ -100,7 +100,8 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
                         pair_id: np.ndarray | None = None,
                         kw: int | None = None,
                         l_cap: int = 64,
-                        num_nbr_nodes: int | None = None):
+                        num_nbr_nodes: int | None = None,
+                        anchor: np.ndarray | None = None):
     """Pack arbitrary half-edges (owner, nbr, K weight columns) into the
     windowed-gather layer structure. This serves the flux kernel (K=4:
     signed normal + |w|, pair_id = edge id so spilling one half spills
@@ -124,17 +125,19 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
     gw = nbr // WIN
     if num_nbr_nodes is None:
         n_win_src = n_win
-        anchor = np.arange(n_win)
+        if anchor is None:
+            anchor = np.arange(n_win)
     else:
         n_win_src = -(-num_nbr_nodes // WIN)
-        sums = np.zeros(n_win)
-        cnts = np.zeros(n_win)
-        np.add.at(sums, ow, gw)
-        np.add.at(cnts, ow, 1)
-        # windows with no half-edges anchor proportionally
-        guess = np.arange(n_win) * (n_win_src / max(1, n_win))
-        anchor = np.where(cnts > 0, sums / np.maximum(cnts, 1),
-                          guess).round().astype(np.int64)
+        if anchor is None:
+            sums = np.zeros(n_win)
+            cnts = np.zeros(n_win)
+            np.add.at(sums, ow, gw)
+            np.add.at(cnts, ow, 1)
+            # windows with no half-edges anchor proportionally
+            guess = np.arange(n_win) * (n_win_src / max(1, n_win))
+            anchor = np.where(cnts > 0, sums / np.maximum(cnts, 1),
+                              guess).round().astype(np.int64)
 
     if kw is None:
         # cover the realized window span of most half-edges TWO-SIDED
@@ -294,6 +297,20 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
         num_half_edges=int(ok.sum()),
         num_spilled_edges=0)
     return plan, ok
+
+
+def needed_kw(owner: np.ndarray, nbr: np.ndarray, anchor: np.ndarray,
+              n_win_src: int) -> int:
+    """The auto-kw heuristic factored out (same formula as the in-builder
+    default): lets callers that build SEVERAL plans with one common
+    neighborhood width (the sharded per-shard plans must share kernel
+    shapes) size kw as the max of the per-plan needs."""
+    if owner.shape[0]:
+        span = np.abs(anchor[owner // WIN] - nbr // WIN)
+        need = int(np.percentile(span, 99.5)) + 1
+    else:
+        need = 1
+    return int(min(n_win_src, max(2, min(64, 2 * need + 1))))
 
 
 def build_window_plan(lvl: MeshLevel, kw: int | None = None,

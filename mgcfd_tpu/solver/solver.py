@@ -65,6 +65,7 @@ class DeviceLevel:
     shift_wpad_t: Optional[Any] = None  # (4, D*N) padded weights + |w|
     dense_bw_t: Optional[Any] = None  # (bd_normal, wall_normal, wall_const)
     pallas_flux: Optional[Any] = None  # PallasShiftFlux kernel
+    pallas_fused: Optional[Any] = None  # fused RK-stage kernel
     pallas_rw: Optional[Any] = None   # indirect_rw twin kernel
     window_flux: Optional[Any] = None  # PallasWindowFlux (unstructured)
     window_rw: Optional[Any] = None    # its indirect_rw twin
@@ -119,6 +120,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
         pallas_rw = None
         dense_bw_t = None
         pallas_flux = None
+        pallas_fused = None
         window_flux = None
         window_rw = None
         window_arrays = None
@@ -173,11 +175,14 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 far_field_state(np.float64)[1])
             if config.accumulate == "pallas":
                 from ..pallas.flux_shift import PallasShiftFlux, \
-                    pallas_shift_flux
+                    PallasFusedStage, pallas_shift_flux
                 interp = jax.default_backend() == "cpu"
                 pallas_flux = pallas_shift_flux(plan, l.num_nodes,
                                                 dtype=dtype,
                                                 interpret=interp)
+                if config.fuse_stage:
+                    pallas_fused = PallasFusedStage(
+                        pallas_flux, bdn, wln, wlc, dtype=dtype)
                 if config.include_indirect_rw:
                     pallas_rw = PallasShiftFlux(
                         plan.deltas, plan.weights, l.num_nodes,
@@ -201,6 +206,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
         dlevels.append(DeviceLevel(
             ell=ell, shift=shift, shift_wpad_t=shift_wpad_t,
             dense_bw_t=dense_bw_t, pallas_flux=pallas_flux,
+            pallas_fused=pallas_fused,
             pallas_rw=pallas_rw, window_flux=window_flux,
             window_rw=window_rw, window_arrays=window_arrays,
             num_lanes=num_lanes,
@@ -541,6 +547,33 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
 
     invalid = jnp.int32(0)
     rw_token = jnp.zeros((), variables.dtype)
+    if (config.accumulate == "pallas" and lvl.pallas_fused is not None
+            and not config.flux_cripple):
+        # fused RK stage: ONE kernel launch per stage covers the whole
+        # reference sequence flux -> boundary/wall -> time_step ->
+        # invalid check (euler3d:383-512). Spill edges (outside the span
+        # plan) are pre-accumulated and enter as a kernel input; the
+        # step factor stays outside (its global min is a cross-block
+        # reduction). The crippled diagnostic uses the unfused pipeline.
+        from ..ops import tops
+        _, _, (sa, sb, sw) = lvl.shift
+        for j in range(RK):
+            spill = None
+            if sa.shape[0]:
+                val = tops.t_internal_edge_flux(q[:, sa], q[:, sb], sw.T)
+                spill = tops.t_segment_accumulate(
+                    jnp.concatenate([val, -val], axis=1),
+                    jnp.concatenate([sa, sb]), q.shape[1])
+            fac = sf / float(RK + 1 - j)
+            q, inv = lvl.pallas_fused(q, old, fac, spill)
+            invalid = invalid + inv
+            if config.include_indirect_rw:
+                rw = t_indirect_rw(lvl, q, config)
+                rw_token = rw_token + jnp.sum(rw) * jnp.zeros(
+                    (), variables.dtype)
+        if io_transposed:
+            return q, old, q - old, sf, invalid, rw_token
+        return q.T, old.T, (q - old).T, sf, invalid, rw_token
     for j in range(RK):
         if config.flux_cripple:
             # crippled twin runs first with discarded writes
@@ -884,6 +917,7 @@ class MGCFDSolver:
     def __init__(self, mesh: MultigridMesh, config: SolverConfig | None = None,
                  device=None):
         self.config = config or SolverConfig()
+        self.config.validate()
         self.mesh = mesh
         self.dmesh = prepare_device_mesh(mesh, self.config, device)
         self.dtype = jnp.dtype(self.config.dtype)

@@ -59,13 +59,15 @@ def test_cli_validation_pass_and_fail(dataset, tmp_path, capsys):
     assert rc == 0
     assert "PASS: variables[] validated successfully" in \
         capsys.readouterr().out
-    # corrupt the solution -> must raise
+    # corrupt the solution -> reference ergonomics (validation.cpp:
+    # 188-196): print the offending value, exit EXIT_FAILURE cleanly
     vals = read_solution(str(sol), mesh.levels[0].num_nodes)
     vals[0, 0] *= 1.001
     dump_variables(str(sol), vals)
-    with pytest.raises(ValidationError):
-        cli_main(["-i", "input.dat", "-d", str(d), "-g", "2", "-v",
-                  "--dtype", "float64"])
+    rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "2", "-v",
+                   "--dtype", "float64"])
+    assert rc == 1
+    assert "Validation of variables[] failed" in capsys.readouterr().out
     os.remove(str(sol))
 
 

@@ -75,6 +75,47 @@ def test_pallas_multi_block():
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
 
 
+def test_fused_stage_matches_unfused():
+    """The fused RK-stage kernel (flux + boundary/wall + time_step +
+    invalid count in one launch) must reproduce the separate-kernel
+    pipeline exactly — including spill edges entering as a kernel input
+    and the RMS history."""
+    from mgcfd_tpu.core.config import SolverConfig
+    from mgcfd_tpu.mesh import generate_multigrid_box
+    from mgcfd_tpu.solver import MGCFDSolver
+    mesh = generate_multigrid_box(10, 8, 8, 2, h=(0.1, 0.1, 0.1),
+                                  volume_jitter=0.2)
+    a = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="pallas",
+                                       fuse_stage=False))
+    a.run(cycles=3)
+    b = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="pallas",
+                                       fuse_stage=True))
+    assert b.dmesh.levels[0].pallas_fused is not None
+    b.run(cycles=3)
+    np.testing.assert_allclose(b.variables(0), a.variables(0),
+                               rtol=1e-12, atol=1e-16)
+    np.testing.assert_allclose(b.rms_history, a.rms_history, rtol=1e-10)
+
+
+def test_fused_stage_nan_guard_trips():
+    """check_for_invalid_variables semantics through the fused kernel's
+    in-kernel counter (validation.cpp:107-138): a poisoned state must
+    raise, not silently propagate."""
+    from mgcfd_tpu.core.config import SolverConfig
+    from mgcfd_tpu.mesh import generate_multigrid_box
+    from mgcfd_tpu.solver import MGCFDSolver
+    import jax.numpy as jnp
+    mesh = generate_multigrid_box(8, 6, 6, 2, h=(0.1, 0.1, 0.1))
+    s = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="pallas"))
+    v = s.state["variables"][0]
+    s.state["variables"][0] = v.at[0, 3].set(-5.0)  # negative density
+    with pytest.raises(FloatingPointError):
+        s.run(cycles=1)
+
+
 def test_indirect_rw_twin_is_side_effect_free():
     """The faithful rw twin (pallas + rolled + spill) must not perturb
     the solve: the reference discards its writes (euler3d:505), we
