@@ -225,10 +225,18 @@ def main(argv=None) -> int:
 
     # --- run ---
     t0 = time.time()
-    if cfg.num_partitions > 1:
+    if cfg.num_partitions > 1 and cfg.monitor_mode == "instrumented":
+        from ..monitor import InstrumentedShardedSolver
+        solver = InstrumentedShardedSolver(mesh, cfg)
+        stats = solver.run(cfg.num_cycles, verbose=True)
+    elif cfg.num_partitions > 1:
         from ..parallel import ShardedSolver
         solver = ShardedSolver(mesh, cfg)
-        solver.run(cfg.num_cycles, verbose=True)
+        remaining = max(0, cfg.num_cycles - solver.completed_cycles)
+        if remaining < cfg.num_cycles:
+            print(f"Resumed at cycle {solver.completed_cycles}; "
+                  f"running {remaining} more")
+        solver.run(remaining, verbose=True)
         stats = None
     elif cfg.monitor_mode == "instrumented":
         from ..monitor import InstrumentedSolver
@@ -298,7 +306,7 @@ def main(argv=None) -> int:
                                cfg.mesh_duplicate_count, cfg.num_cycles, 0)
         print(f"Dumping variables[] to file: {path}")
         dump_variables(path, solver.variables(0))
-    if cfg.output_step_factors and hasattr(solver, "step_factors"):
+    if cfg.output_step_factors:
         path = output_filepath(cfg.output_file_prefix, "step_factors",
                                cfg.mesh_duplicate_count, cfg.num_cycles, 0)
         dump_scalars(path, solver.step_factors(0))
@@ -319,20 +327,39 @@ def main(argv=None) -> int:
                                cfg.mesh_duplicate_count, cfg.num_cycles, 0)
         print(f"Dumping fluxes[] to file: {path}")
         dump_variables(path, _np.zeros((mesh.levels[0].num_nodes, 5)))
-    if cfg.output_edge_fluxes and hasattr(solver, "dmesh"):
+    if cfg.output_edge_fluxes:
         import numpy as _np
         from ..core.constants import far_field_state
         from ..ops import (internal_edge_flux, boundary_edge_flux,
                            wall_edge_flux)
         from ..validate.golden import dump_edge_fluxes
-        lvl = solver.dmesh.levels[0]
+        if hasattr(solver, "dmesh"):
+            lvl = solver.dmesh.levels[0]
+            ea, eb, ew = lvl.edge_a, lvl.edge_b, lvl.edge_w
+            bb, bw_, wb, ww = (lvl.bedge_b, lvl.bedge_w, lvl.wedge_b,
+                               lvl.wedge_w)
+        else:
+            # sharded solvers hold per-shard streams; recondition the
+            # level-0 edge weights from the mesh (same path the solver
+            # applied at partition time)
+            import dataclasses as _dc
+            from ..mesh.build import apply_ewt_conditioning
+            l0 = _dc.replace(mesh.levels[0])
+            l0.edge_w = l0.edge_w.copy()
+            l0.bedge_w = l0.bedge_w.copy()
+            l0.wedge_w = l0.wedge_w.copy()
+            apply_ewt_conditioning([l0], mesh.variant)
+            ea, eb, ew = l0.edge_a, l0.edge_b, l0.edge_w
+            bb, bw_, wb, ww = (l0.bedge_b, l0.bedge_w, l0.wedge_b,
+                               l0.wedge_w)
         import jax.numpy as jnp
         v0 = jnp.asarray(solver.variables(0))
-        vi = _np.asarray(internal_edge_flux(v0[lvl.edge_a],
-                                            v0[lvl.edge_b], lvl.edge_w))
-        vb = _np.asarray(boundary_edge_flux(v0[lvl.bedge_b], lvl.bedge_w))
+        vi = _np.asarray(internal_edge_flux(v0[ea], v0[eb],
+                                            jnp.asarray(ew, v0.dtype)))
+        vb = _np.asarray(boundary_edge_flux(
+            v0[bb], jnp.asarray(bw_, v0.dtype)))
         _, ff = far_field_state()
-        vw = _np.asarray(wall_edge_flux(v0[lvl.wedge_b], lvl.wedge_w,
+        vw = _np.asarray(wall_edge_flux(v0[wb], jnp.asarray(ww, v0.dtype),
                                         jnp.asarray(ff, v0.dtype)))
         paths = dump_edge_fluxes(cfg.output_file_prefix,
                                  cfg.mesh_duplicate_count,

@@ -37,188 +37,215 @@ from .partition import partition_mesh, ShardedMeshData
 AXIS = "x"
 
 
+def _sharded_step_factor(const, q, legacy):
+    """Step factor on one (5, B) shard block; the corrected variant's
+    global min is a lax.pmin (cfd_loops.cpp:137-150 analogue)."""
+    from ..ops import tops
+
+    volumes = const["volumes"]
+    prim = tops.t_primitives(q)
+    if legacy:
+        return 0.5 / (jnp.sqrt(volumes) * (prim["speed"] + prim["sos"]))
+    dt = 0.5 * jnp.cbrt(volumes) / (prim["speed"] + prim["sos"])
+    dt = jnp.where(const["node_mask"] > 0, dt, jnp.inf)
+    min_dt = jax.lax.pmin(jnp.min(dt), AXIS)
+    return min_dt / volumes
+
+
+def _window_exchange(sd, const, qv, padded_in):
+    """Gather-only halo: [local block | all-gathered separator pool],
+    lane-padded to whole windows with a physical state (the channel
+    build computes 1/rho — padding must stay finite; no live slot
+    references the pad lanes)."""
+    pool_sz = sd.P * sd.smax
+    sep_vals = qv[:, const["sep_idx"]]          # (5, Smax)
+    pool = jax.lax.all_gather(sep_vals, AXIS)   # (P, 5, Smax)
+    comb = jnp.concatenate(
+        [qv, pool.transpose(1, 0, 2).reshape(NVAR, pool_sz)], axis=1)
+    pad = padded_in - comb.shape[1]
+    if pad:
+        comb = jnp.concatenate(
+            [comb, jnp.broadcast_to(comb[:, :1], (NVAR, pad))], axis=1)
+    return comb
+
+
+def _window_flux_total(sd, const, q, wkernels):
+    """Full flux evaluation, windowed production path: per-shard window
+    kernel + indexed spill half-edges + dense boundary/wall. q: (5, B)
+    -> (5, B). Gather-only halo: no return scatter collective."""
+    from ..ops import tops
+
+    wflux, _ = wkernels
+    warrs = {k: const["win_" + k] for k in
+             ("base", "nl", "own", "lwins", "wsel", "ci", "rs", "w4")}
+    wsd = const["wsp_dest"]
+    B = q.shape[1]
+    comb = _window_exchange(sd, const, q, wflux.padded_in)
+    flux = wflux(comb, arrays=warrs)            # (5, B)
+    val = tops.t_internal_edge_flux(
+        q[:, wsd], comb[:, const["wsp_src"]], const["wsp_w"].T)
+    flux = flux + tops.t_segment_accumulate(val, wsd, B)
+    flux = flux + tops.t_dense_boundary_wall_flux(
+        q, const["dense_bd"].T, const["dense_wl"].T,
+        const["dense_wlc"].T)
+    return flux
+
+
+def _window_rw_token(sd, const, q, wkernels):
+    """Faithful indirect_rw twin of _window_flux_total: same halo gather
+    + windowed rw kernel + spill stream, reduced to one scalar token
+    (zero_fluxes semantics, euler3d:491-505)."""
+    from ..ops import tops
+
+    _, wrw = wkernels
+    warrs = {k: const["win_" + k] for k in
+             ("base", "nl", "own", "lwins", "wsel", "ci", "rs", "w4")}
+    wsd = const["wsp_dest"]
+    comb2 = _window_exchange(sd, const, q, wrw.padded_in)
+    tok = jnp.sum(wrw(comb2, arrays=warrs))
+    valr = (q[:, wsd] + comb2[:, const["wsp_src"]]
+            + jnp.sum(const["wsp_w"].T, axis=0)[None])
+    return tok + jnp.sum(tops.t_segment_accumulate(valr, wsd, q.shape[1]))
+
+
+def _stream_exchange(sd, const, v):
+    """Halo in (node-major): gather own separator values, all_gather the
+    pool, append to the block."""
+    pool_sz = sd.P * sd.smax
+    sep_vals = v[const["sep_idx"]]                  # (Smax, NVAR)
+    pool = jax.lax.all_gather(sep_vals, AXIS)       # (P, Smax, NVAR)
+    return jnp.concatenate([v, pool.reshape(pool_sz, NVAR)], axis=0)
+
+
+def _stream_flux_total(sd, const, q, ff_flux, use_shift):
+    """Full flux evaluation, indexed-stream path (segment/shift modes):
+    segment-sum over [block | pool], optional batched-roll dense
+    diagonals, boundary/wall, then the psum_scatter halo return.
+    q: (5, B) -> (B, NVAR) node-major."""
+    from ..ops import tops
+
+    B = q.shape[1]
+    pool_sz = sd.P * sd.smax
+    v_nm = q.T
+    combined = _stream_exchange(sd, const, v_nm)
+    q_a = combined[const["edge_a"]]
+    q_b = combined[const["edge_b"]]
+    val = internal_edge_flux(q_a, q_b, const["edge_w"])
+    dest = jnp.concatenate([const["edge_a"], const["edge_b"]])
+    vals = jnp.concatenate([val, -val])
+    seg = jax.ops.segment_sum(vals, dest, num_segments=B + pool_sz)
+    flux = seg[:B]
+    if use_shift:
+        # batched-roll single-pass dense diagonals over the block
+        # (tops.t_shift_flux_rolled; wrap lanes carry zero weights —
+        # the partitioner only covers edges with local_a + d < B)
+        flux = flux + tops.t_shift_flux_rolled(
+            sd.shift_deltas, const["shift_wpad"], q).T
+    if "dense_bd" in const:
+        # dense aggregated boundary/wall (ops.tops semantics)
+        bw = tops.t_dense_boundary_wall_flux(
+            q, const["dense_bd"].T, const["dense_wl"].T,
+            const["dense_wlc"].T)
+        flux = flux + bw.T
+    else:
+        val_bd = boundary_edge_flux(v_nm[const["bedge_b"]],
+                                    const["bedge_w"])
+        val_w = wall_edge_flux(v_nm[const["wedge_b"]],
+                               const["wedge_w"], ff_flux)
+        flux = flux + jax.ops.segment_sum(val_bd, const["bedge_b"],
+                                          num_segments=B)
+        flux = flux + jax.ops.segment_sum(val_w, const["wedge_b"],
+                                          num_segments=B)
+    # halo out: foreign contributions return to their owners
+    recv = jax.lax.psum_scatter(
+        seg[B:].reshape(sd.P, sd.smax, NVAR), AXIS,
+        scatter_dimension=0)                        # (Smax, NVAR)
+    return flux.at[const["sep_idx"]].add(
+        recv * const["sep_mask"][:, None])
+
+
+def _stream_rw_token(sd, const, q, use_shift):
+    """Data-movement twin of _stream_flux_total (same halo traffic),
+    token-consumed."""
+    from ..ops import indirect_rw_edge_values, tops
+
+    B = q.shape[1]
+    pool_sz = sd.P * sd.smax
+    comb2 = _stream_exchange(sd, const, q.T)
+    va, vb = indirect_rw_edge_values(comb2[const["edge_a"]],
+                                     comb2[const["edge_b"]],
+                                     const["edge_w"])
+    dest = jnp.concatenate([const["edge_a"], const["edge_b"]])
+    seg = jax.ops.segment_sum(jnp.concatenate([va, vb]), dest,
+                              num_segments=B + pool_sz)
+    recv = jax.lax.psum_scatter(
+        seg[B:].reshape(sd.P, sd.smax, NVAR), AXIS,
+        scatter_dimension=0)
+    tok = jnp.sum(seg[:B]) + jnp.sum(recv * const["sep_mask"][:, None])
+    if use_shift:
+        # rolled-form twin over the dense diagonals (same traffic,
+        # near-zero flops; tops.t_shift_rw_rolled)
+        tok = tok + jnp.sum(tops.t_shift_rw_rolled(
+            sd.shift_deltas, const["shift_wpad"], q)) * jnp.zeros(
+            (), q.dtype)
+    return tok
+
+
+def _use_stream_shift(sd, const, config) -> bool:
+    return (config.accumulate == "shift"
+            and const.get("shift_wpad") is not None
+            and len(sd.shift_deltas) > 0)
+
+
 def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
                    config, wkernels=None):
     """One smoothing pass on the sharded finest level.
     variables: (B, NVAR) block at rest; the RK loop runs VARIABLE-MAJOR
-    internally (ops/tops) with the batched-roll shift flux when a plan
-    exists — the same production formulation as the single-chip
-    transposed solver (parity per VERDICT r01 #7). The indexed
-    cross-shard/spill stream stays node-major (it feeds the halo
-    collectives); layout conversions are per-(B,5) block and fuse.
-    Returns (variables, old, res, sf-free invalid, rw_token)."""
+    internally (ops/tops). With wkernels (accumulate=window/pallas) the
+    flux is the per-shard windowed production kernel with a gather-only
+    halo; otherwise the indexed segment stream (+ optional shift
+    diagonals) with the psum_scatter return leg.
+    Returns (variables, old, res, invalid, rw_token)."""
     from ..ops import tops
 
-    volumes = const["volumes"]
     node_mask = const["node_mask"]
     old = variables
-
     q = variables.T                                     # (5, B)
-    prim = tops.t_primitives(q)
-    if legacy:
-        sf = 0.5 / (jnp.sqrt(volumes) * (prim["speed"] + prim["sos"]))
-    else:
-        dt = 0.5 * jnp.cbrt(volumes) / (prim["speed"] + prim["sos"])
-        dt = jnp.where(node_mask > 0, dt, jnp.inf)
-        min_dt = jax.lax.pmin(jnp.min(dt), AXIS)
-        sf = min_dt / volumes
+    sf = _sharded_step_factor(const, q, legacy)
 
     invalid = jnp.int32(0)
     rw_token = jnp.zeros((), variables.dtype)
-    B = variables.shape[0]
-    pool_sz = sd.P * sd.smax
     old_t = q
-
-    if wkernels is not None:
-        # ------- windowed-gather production path (gather-only halo) ----
-        # Every half-edge destined to a local node is either packed in
-        # this shard's window plan or in its indexed spill stream; the
-        # foreign halves of cross edges are recomputed by the neighbor
-        # shard (exact by antisymmetry), so the flux has NO return
-        # scatter collective — one all_gather of separator state per
-        # evaluation is the entire halo.
-        from ..ops import tops
-        wflux, wrw = wkernels
-        warrs = {k: const["win_" + k] for k in
-                 ("base", "nl", "own", "lwins", "wsel", "ci", "rs", "w4")}
-        padded_in = wflux.padded_in
-        wsd = const["wsp_dest"]
-
-        def window_exchange(qv):
-            """[local block | all-gathered separator pool], lane-padded
-            to whole windows with a physical state (the channel build
-            computes 1/rho — padding must stay finite; no live slot
-            references the pad lanes)."""
-            sep_vals = qv[:, const["sep_idx"]]          # (5, Smax)
-            pool = jax.lax.all_gather(sep_vals, AXIS)   # (P, 5, Smax)
-            comb = jnp.concatenate(
-                [qv, pool.transpose(1, 0, 2).reshape(NVAR, pool_sz)],
-                axis=1)
-            pad = padded_in - comb.shape[1]
-            if pad:
-                comb = jnp.concatenate(
-                    [comb, jnp.broadcast_to(comb[:, :1], (NVAR, pad))],
-                    axis=1)
-            return comb
-
-        for j in range(RK):
-            comb = window_exchange(q)
-            if config.flux_cripple:
-                # crippled twin first, writes discarded (euler3d:399-418)
-                from ..ops import internal_edge_flux_crippled
-                v_nm = comb.T
-                crippled = internal_edge_flux_crippled(
-                    v_nm[const["edge_a"]], v_nm[const["edge_b"]],
-                    const["edge_w"])
-                rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
-                    (), variables.dtype)
-            flux = wflux(comb, arrays=warrs)            # (5, B)
-            val = tops.t_internal_edge_flux(
-                q[:, wsd], comb[:, const["wsp_src"]], const["wsp_w"].T)
-            flux = flux + tops.t_segment_accumulate(val, wsd, B)
-            flux = flux + tops.t_dense_boundary_wall_flux(
-                q, const["dense_bd"].T, const["dense_wl"].T,
-                const["dense_wlc"].T)
-            q = tops.t_time_step(j, sf, flux, old_t)
-            invalid = invalid + invalid_variables_count(
-                q.T * node_mask[:, None])
-            if config.include_indirect_rw:
-                # faithful twin: same halo gather + windowed rw kernel +
-                # spill stream, token-consumed (zero_fluxes semantics)
-                comb2 = window_exchange(q)
-                tok = jnp.sum(wrw(comb2, arrays=warrs))
-                valr = (q[:, wsd] + comb2[:, const["wsp_src"]]
-                        + jnp.sum(const["wsp_w"].T, axis=0)[None])
-                tok = tok + jnp.sum(
-                    tops.t_segment_accumulate(valr, wsd, B))
-                rw_token = rw_token + tok
-        variables = q.T
-        res = residual(old, variables)
-        return (variables, old, res, jax.lax.psum(invalid, AXIS),
-                rw_token)
-
-    def exchange(v):
-        """halo in: gather own separator values, all_gather the pool."""
-        sep_vals = v[const["sep_idx"]]                  # (Smax, NVAR)
-        pool = jax.lax.all_gather(sep_vals, AXIS)       # (P, Smax, NVAR)
-        return jnp.concatenate([v, pool.reshape(pool_sz, NVAR)], axis=0)
-
-    use_shift = (config.accumulate == "shift"
-                 and const.get("shift_wpad") is not None
-                 and len(sd.shift_deltas) > 0)
+    use_shift = _use_stream_shift(sd, const, config)
 
     for j in range(RK):
-        v_nm = q.T
-        combined = exchange(v_nm)
-        q_a = combined[const["edge_a"]]
-        q_b = combined[const["edge_b"]]
         if config.flux_cripple:
+            # crippled twin first, writes discarded (euler3d:399-418)
             from ..ops import internal_edge_flux_crippled
-            crippled = internal_edge_flux_crippled(q_a, q_b,
-                                                   const["edge_w"])
+            comb = _stream_exchange(sd, const, q.T)
+            crippled = internal_edge_flux_crippled(
+                comb[const["edge_a"]], comb[const["edge_b"]],
+                const["edge_w"])
             rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
                 (), variables.dtype)
-        val = internal_edge_flux(q_a, q_b, const["edge_w"])
-        dest = jnp.concatenate([const["edge_a"], const["edge_b"]])
-        vals = jnp.concatenate([val, -val])
-        seg = jax.ops.segment_sum(vals, dest, num_segments=B + pool_sz)
-        flux = seg[:B]
-        if use_shift:
-            # batched-roll single-pass dense diagonals over the block
-            # (tops.t_shift_flux_rolled; wrap lanes carry zero weights —
-            # the partitioner only covers edges with local_a + d < B)
-            flux = flux + tops.t_shift_flux_rolled(
-                sd.shift_deltas, const["shift_wpad"], q).T
-        if "dense_bd" in const:
-            # dense aggregated boundary/wall (ops.tops semantics)
-            from ..ops.tops import t_dense_boundary_wall_flux
-            bw = t_dense_boundary_wall_flux(
-                q, const["dense_bd"].T, const["dense_wl"].T,
-                const["dense_wlc"].T)
-            flux = flux + bw.T
+        if wkernels is not None:
+            flux_t = _window_flux_total(sd, const, q, wkernels)
         else:
-            val_bd = boundary_edge_flux(v_nm[const["bedge_b"]],
-                                        const["bedge_w"])
-            val_w = wall_edge_flux(v_nm[const["wedge_b"]],
-                                   const["wedge_w"], ff_flux)
-            flux = flux + jax.ops.segment_sum(val_bd, const["bedge_b"],
-                                              num_segments=B)
-            flux = flux + jax.ops.segment_sum(val_w, const["wedge_b"],
-                                              num_segments=B)
-        # halo out: foreign contributions return to their owners
-        recv = jax.lax.psum_scatter(
-            seg[B:].reshape(sd.P, sd.smax, NVAR), AXIS,
-            scatter_dimension=0)                        # (Smax, NVAR)
-        flux = flux.at[const["sep_idx"]].add(
-            recv * const["sep_mask"][:, None])
-
-        q = tops.t_time_step(j, sf, flux.T, old_t)
+            flux_t = _stream_flux_total(sd, const, q, ff_flux,
+                                        use_shift).T
+        q = tops.t_time_step(j, sf, flux_t, old_t)
         invalid = invalid + invalid_variables_count(
             q.T * node_mask[:, None])
-
         if config.include_indirect_rw:
             # the data-movement twin, with the same halo traffic; its
-            # accumulation is reduced to a token (writes discarded, as in
-            # the reference's zero_fluxes after indirect_rw)
-            from ..ops import indirect_rw_edge_values
-            comb2 = exchange(q.T)
-            va, vb = indirect_rw_edge_values(comb2[const["edge_a"]],
-                                             comb2[const["edge_b"]],
-                                             const["edge_w"])
-            dest = jnp.concatenate([const["edge_a"], const["edge_b"]])
-            seg = jax.ops.segment_sum(jnp.concatenate([va, vb]), dest,
-                                      num_segments=B + pool_sz)
-            recv = jax.lax.psum_scatter(
-                seg[B:].reshape(sd.P, sd.smax, NVAR), AXIS,
-                scatter_dimension=0)
-            rw_token = rw_token + jnp.sum(seg[:B]) + jnp.sum(
-                recv * const["sep_mask"][:, None])
-            if use_shift:
-                # rolled-form twin over the dense diagonals (same traffic,
-                # near-zero flops; tops.t_shift_rw_rolled)
-                rw_token = rw_token + jnp.sum(tops.t_shift_rw_rolled(
-                    sd.shift_deltas, const["shift_wpad"], q)) * jnp.zeros(
-                    (), variables.dtype)
+            # accumulation is reduced to a token (writes discarded, as
+            # in the reference's zero_fluxes after indirect_rw)
+            if wkernels is not None:
+                rw_token = rw_token + _window_rw_token(sd, const, q,
+                                                       wkernels)
+            else:
+                rw_token = rw_token + _stream_rw_token(sd, const, q,
+                                                       use_shift)
 
     variables = q.T
     res = residual(old, variables)
@@ -280,14 +307,10 @@ def _sharded_prolong(sd, const, res_coarse, res_fine, vars_fine):
     return vars_fine + (res_fine - wavg)
 
 
-def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
-                          config: SolverConfig, mesh: Mesh,
-                          legacy: bool):
-    """Build the jitted sharded V-cycle. dmesh_coarse: DeviceMesh-style
-    levels for the replicated coarse hierarchy (index 0 = level 1)."""
-    sd = smesh.level0
-    dtype = jnp.dtype(config.dtype)
-    ff_flux = jnp.asarray(np.asarray(far_field_state(np.float64)[1]), dtype)
+def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
+    """Device constants for the sharded fine level, shared by the fused
+    cycle and the instrumented sharded solver: (sharded_const stacked
+    over shards, replicated_const, wkernels-or-None)."""
 
     def to_dev(x, dt=dtype):
         return jnp.asarray(x, dt)
@@ -364,6 +387,19 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
     if sd.mg_counts is not None:
         replicated_const["mg_counts"] = to_dev(sd.mg_counts)
         replicated_const["mg_mapped"] = jnp.asarray(sd.mg_mapped)
+    return sharded_const, replicated_const, wkernels
+
+
+def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
+                          config: SolverConfig, mesh: Mesh,
+                          legacy: bool):
+    """Build the jitted sharded V-cycle. dmesh_coarse: DeviceMesh-style
+    levels for the replicated coarse hierarchy (index 0 = level 1)."""
+    sd = smesh.level0
+    dtype = jnp.dtype(config.dtype)
+    ff_flux = jnp.asarray(np.asarray(far_field_state(np.float64)[1]), dtype)
+    sharded_const, replicated_const, wkernels = build_sharded_consts(
+        sd, config, dtype, mesh)
 
     L = 1 + len(dmesh_coarse)
 
@@ -450,6 +486,7 @@ class ShardedSolver:
                  devices=None):
         self.config = config
         config.validate()
+        self.mesh = mgmesh
         P_ = config.num_partitions
         devices = devices if devices is not None else jax.devices()[:P_]
         assert len(devices) == P_, (
@@ -511,8 +548,59 @@ class ShardedSolver:
         self._cycle = make_sharded_cycle_fn(
             self.smesh, dmesh_coarse, config, self.jmesh, legacy)
         self.rms_history: list[float] = []
+        self.completed_cycles = 0
+        if config.resume and config.checkpoint_dir:
+            from ..utils.checkpoint import latest_checkpoint, \
+                load_checkpoint
+            path = latest_checkpoint(config.checkpoint_dir)
+            if path is not None:
+                # checkpoints are node-major real-width — the SAME format
+                # the single-chip solver writes, so runs can move between
+                # partition counts (and to/from single chip) freely
+                st, self.completed_cycles, self.rms_history = \
+                    load_checkpoint(path, mgmesh, dtype)
+                self._install_node_major(st)
+
+    def _reassemble(self, arr) -> np.ndarray:
+        """(P*Bs, NVAR) stacked blocks -> (num_nodes, NVAR) node-major
+        (drops each block's window-rounding tail)."""
+        sd = self.smesh.level0
+        v = np.asarray(arr).reshape(sd.P, sd.block, NVAR)
+        parts = [v[p, :max(0, min((p + 1) * sd.part_width, sd.num_nodes)
+                           - p * sd.part_width)] for p in range(sd.P)]
+        return np.concatenate(parts, axis=0)
+
+    def _state_node_major(self) -> dict:
+        """Checkpoint view: per-level node-major arrays, level 0 first."""
+        return {
+            "variables": [self._reassemble(self.state["variables0"])]
+            + [np.asarray(v) for v in self.state["variables_c"]],
+            "residuals": [self._reassemble(self.state["residuals0"])]
+            + [np.asarray(r) for r in self.state["residuals_c"]],
+        }
+
+    def _install_node_major(self, st: dict) -> None:
+        """Inverse of _state_node_major: split level 0 into per-shard
+        storage blocks (tails keep their init fill) and install."""
+        sd = self.smesh.level0
+        dtype = jnp.dtype(self.config.dtype)
+        for key, target in (("variables", "variables0"),
+                            ("residuals", "residuals0")):
+            full = np.array(self.state[target]).reshape(
+                sd.P, sd.block, NVAR)
+            src = np.asarray(st[key][0])
+            for p in range(sd.P):
+                lo = p * sd.part_width
+                hi = min(lo + sd.part_width, sd.num_nodes)
+                full[p, :hi - lo] = src[lo:hi]
+            with self.jmesh:
+                self.state[target] = jnp.asarray(
+                    full.reshape(sd.P * sd.block, NVAR), dtype)
+            self.state[target.replace("0", "_c")] = [
+                jnp.asarray(a, dtype) for a in st[key][1:]]
 
     def run(self, cycles: int, verbose: bool = False):
+        ck_every = self.config.checkpoint_every
         for i in range(cycles):
             self.state, rms, invalid = self._cycle(self.state)
             inv = int(invalid)
@@ -523,7 +611,36 @@ class ShardedSolver:
             if verbose:
                 print(f"MG cycle {i + 1} / {cycles} "
                       f"(RMS = {float(rms):.3e})")
+            self.completed_cycles += 1
+            if (ck_every and self.config.checkpoint_dir
+                    and self.completed_cycles % ck_every == 0):
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(self.config.checkpoint_dir, self.mesh,
+                                self._state_node_major(),
+                                self.completed_cycles, self.rms_history)
         return self.state
+
+    def step_factors(self, level: int = 0) -> np.ndarray:
+        """Step factors recomputed from the current state (the dump
+        contract, io_enhanced.cpp:652-670); volumes are unconditioned
+        mesh data, identical on every path."""
+        from ..ops import compute_step_factor, compute_step_factor_legacy
+        v = jnp.asarray(self.variables(level),
+                        jnp.dtype(self.config.dtype))
+        vol = jnp.asarray(self.mesh.levels[level].volumes, v.dtype)
+        if self.mesh.variant.uses_legacy_step_factor:
+            return np.asarray(compute_step_factor_legacy(v, vol))
+        return np.asarray(compute_step_factor(v, vol))
+
+    def dump_hlo(self, out_dir: str) -> list:
+        """Optimized HLO of the whole compiled sharded V-cycle (the
+        multi-chip twin of MGCFDSolver.dump_hlo)."""
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        p = os.path.join(out_dir, "sharded_vcycle.hlo.txt")
+        with open(p, "w") as f:
+            f.write(self._cycle.lower(self.state).compile().as_text())
+        return [p]
 
     def run_batched(self, cycles: int, cycles_per_dispatch: int = 10,
                     verbose: bool = False):
@@ -551,6 +668,7 @@ class ShardedSolver:
                 return self.state
             self.state, (rms, invalid) = self._multi(self.state)
             done += k
+            self.completed_cycles += k
             inv = int(invalid.sum())
             if inv > 0:
                 raise FloatingPointError(
