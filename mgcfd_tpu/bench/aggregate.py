@@ -99,6 +99,71 @@ def _read_costs(path):
     return out
 
 
+# HLO opcode classification for the captured per-kernel optimized HLO
+# (--dump-hlo artifacts) — the analogue of the reference's objdump'd
+# loop-assembly analysis (aggregate-output-data.py:219-304: instructions
+# per loop iteration + x86 FP-instruction classification :499-540). On
+# TPU the compiled artifact is optimized HLO; we classify its static
+# instruction mix per kernel. Dynamic per-iteration arithmetic comes
+# from the XLA cost analysis (flops/iter, bytes/iter columns).
+_HLO_CLASSES = {
+    "arith": {"add", "subtract", "multiply", "divide", "negate",
+              "maximum", "minimum", "abs", "compare", "select", "and",
+              "or", "not", "xor", "sign", "clamp"},
+    "transcendental": {"sqrt", "rsqrt", "exp", "log", "power", "cbrt",
+                       "tanh", "expm1", "log1p"},
+    "layout": {"copy", "slice", "pad", "reshape", "broadcast",
+               "transpose", "concatenate", "reverse", "bitcast",
+               "bitcast-convert", "convert", "iota"},
+    "indexed": {"gather", "scatter", "scatter-add", "dynamic-slice",
+                "dynamic-update-slice"},
+    "reduce": {"reduce", "reduce-window"},
+    "fusion": {"fusion"},
+    "kernel_call": {"custom-call"},   # pallas kernels lower to custom-call
+    "collective": {"all-gather", "all-reduce", "reduce-scatter",
+                   "collective-permute", "all-to-all",
+                   "all-gather-start", "all-reduce-start"},
+}
+_HLO_OPCODE_RE = None
+
+
+def analyze_hlo(path: str) -> dict:
+    """Classify the static instruction mix of one optimized-HLO text
+    dump: {'hlo ops': total, 'hlo <class>': count, ...}."""
+    global _HLO_OPCODE_RE
+    import re
+    if _HLO_OPCODE_RE is None:
+        # '  %name = f32[...]{...} opcode(' — opcode after the shape
+        _HLO_OPCODE_RE = re.compile(
+            r"=\s*(?:\([^)]*\)|[a-z0-9]+\[[^\]]*\][^ ]*)\s*"
+            r"([a-z][a-z0-9._-]*)\(")
+    counts = defaultdict(int)
+    total = 0
+    try:
+        with open(path) as f:
+            for line in f:
+                m = _HLO_OPCODE_RE.search(line)
+                if not m:
+                    continue
+                op = m.group(1)
+                if op in ("parameter", "constant", "tuple",
+                          "get-tuple-element"):
+                    continue
+                total += 1
+                for cls, ops in _HLO_CLASSES.items():
+                    if op in ops:
+                        counts[cls] += 1
+                        break
+                else:
+                    counts["other"] += 1
+    except OSError:
+        return {}
+    out = {"hlo ops": total}
+    for cls in list(_HLO_CLASSES) + ["other"]:
+        out[f"hlo {cls}"] = counts.get(cls, 0)
+    return out
+
+
 def collate(jobs_dir: str):
     """-> list of records: one per (job, kernel, level) with id columns,
     seconds, iterations, and per-invocation flop/byte estimates."""
@@ -116,6 +181,7 @@ def collate(jobs_dir: str):
         theader, trows = t
         kcols = _split_kernel_cols(theader)
         irows = i[1] if i else []
+        hlo_dir = os.path.join(root, "hlo")
         for ridx, trow in enumerate(trows):
             irow = irows[ridx] if ridx < len(irows) else {}
             ident = {c: trow.get(c, "") for c in ID_COLS}
@@ -126,11 +192,15 @@ def collate(jobs_dir: str):
                     continue
                 fl, by, calls = costs.get((kernel, level),
                                           (0.0, 0.0, 0.0))
+                hlo = analyze_hlo(os.path.join(
+                    hlo_dir, f"{kernel}{level}.hlo.txt")) \
+                    if os.path.isdir(hlo_dir) else {}
                 records.append({**ident, "job": os.path.basename(root),
                                 "kernel": kernel, "level": level,
                                 "seconds": secs, "iterations": iters,
                                 "flops_total": fl * calls,
                                 "bytes_total": by * calls,
+                                "hlo": hlo,
                                 "total": float(trow.get("Total", 0) or 0)})
     return records
 
@@ -181,8 +251,19 @@ def aggregate(records):
             if peak_fl else 0.0,
             "pct peak HBM": (100.0 * bytes_sec / peak_bw)
             if peak_bw else 0.0,
+            # dynamic per-iteration arithmetic (the reference's
+            # FLOPs-per-loop-iteration analogue, aggregate-output-
+            # data.py:499-540, sourced from XLA cost analysis)
+            "flops/iter": (mean_fl / mean_i) if mean_i else 0.0,
+            "bytes/iter": (mean_by / mean_i) if mean_i else 0.0,
             "total mean": sum(r["total"] for r in rs) / n,
         })
+        # static instruction mix of the captured optimized HLO (the
+        # objdump'd-loop-assembly analysis analogue)
+        hlo = next((r["hlo"] for r in rs if r.get("hlo")), {})
+        for col in (["hlo ops"] + [f"hlo {c}" for c in
+                    list(_HLO_CLASSES) + ["other"]]):
+            rec[col] = hlo.get(col, 0)
         out.append(rec)
     return out
 

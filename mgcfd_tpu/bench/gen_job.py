@@ -123,6 +123,10 @@ def generate_jobs(profile_path: str, repo_root: str | None = None) -> str:
                     "-o", "./", "--dtype", dtype,
                     *acc_flags,
                     "--monitor", "instrumented",
+                    # per-job event selection (the reference generator
+                    # writes papi.conf with PAPI_TOT_INS/PAPI_TOT_CYC,
+                    # gen_job.py:229-231)
+                    "-p", "events.conf",
                     # compiled-artifact capture per job (the objdump
                     # analogue, run-templates/run-mgcfd.sh:97-119)
                     "--dump-hlo", "hlo"]
@@ -156,6 +160,14 @@ rm -f job-is-running.txt
 if [ $rc -eq 0 ]; then touch job-is-complete.txt; else touch job-errored.txt; fi
 exit $rc
 """
+            events = run.get("events", ["XLA_FLOPS_ESTIMATE",
+                                        "XLA_BYTES_ACCESSED_ESTIMATE",
+                                        "XLA_TRANSCENDENTALS_ESTIMATE",
+                                        "CALLS"])
+            with open(os.path.join(jdir, "events.conf"), "w") as f:
+                f.write("# cost/profiler events recorded per kernel "
+                        "(XLACosts.csv rows)\n")
+                f.write("\n".join(events) + "\n")
             spath = os.path.join(jdir, "run.sh")
             with open(spath, "w") as f:
                 f.write(script)

@@ -59,8 +59,12 @@ def read_config_file(path: str, cfg: SolverConfig) -> None:
                 cfg.dtype = value
             elif key == "partitions":
                 cfg.num_partitions = int(value)
-            elif key in ("papi_config_file", "omp_num_threads",
-                         "output_old_variables", "config_filepath"):
+            elif key == "papi_config_file":
+                cfg.event_config_file = (
+                    value if value.startswith("/")
+                    else os.path.join(base, value))
+            elif key in ("omp_num_threads", "output_old_variables",
+                         "config_filepath"):
                 pass  # accepted for reference compatibility
             else:
                 print(f"WARNING: Unknown key '{key}' encountered during "
@@ -82,8 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--num-cycles", type=int, default=None)
     p.add_argument("-v", "--validate-result", action="store_true")
     p.add_argument("-p", "--papi-config-file", default=None,
-                   help="accepted for compatibility (ignored; XLA cost "
-                        "analysis replaces PAPI)")
+                   help="event-selection file (papi.conf analogue): one "
+                        "event name per line choosing the XLACosts.csv "
+                        "rows — XLA_FLOPS_ESTIMATE, "
+                        "XLA_BYTES_ACCESSED_ESTIMATE, "
+                        "XLA_TRANSCENDENTALS_ESTIMATE, "
+                        "XLA_OPTIMAL_SECONDS_ESTIMATE, CALLS")
     p.add_argument("--output-variables", action="store_true")
     p.add_argument("--output-fluxes", action="store_true")
     p.add_argument("--output-step-factors", action="store_true")
@@ -195,6 +203,8 @@ def main(argv=None) -> int:
     cfg.flux_reuse_factor |= args.flux_reuse_factor
     if args.no_indirect_rw:
         cfg.include_indirect_rw = False
+    if args.papi_config_file is not None:
+        cfg.event_config_file = args.papi_config_file
     if args.plan_cache is not None:
         cfg.plan_cache_dir = args.plan_cache
     if args.checkpoint_dir is not None:

@@ -46,6 +46,10 @@ class SolverConfig:
     checkpoint_every: int = 0         # cycles between snapshots (0 = off)
     resume: bool = False              # resume from latest checkpoint
 
+    # --- cost/profiler event selection (-p, the papi.conf analogue;
+    # monitor/events.py) ---
+    event_config_file: str = ""
+
     # --- TPU-specific policy (new; no reference counterpart) ---
     dtype: str = "float32"            # float64 for validation, float32/bf16 perf
     accumulate: str = "segment"       # 'segment'|'scatter'|'ell'|'shift'|'pallas'

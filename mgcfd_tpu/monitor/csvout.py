@@ -122,23 +122,21 @@ def write_loop_stats_csv(prefix: str, ident: CsvIdentification,
 
 
 def write_costs_csv(prefix: str, ident: CsvIdentification,
-                    flops: dict, bytes_accessed: dict,
-                    num_levels: int, calls: dict | None = None) -> str:
+                    events: list, num_levels: int) -> str:
     """XLACosts.csv — the PAPI.csv analogue. PAPI hardware counters don't
     exist for TPU user code; the compiler's cost analysis provides the
     same per-kernel flop/byte attribution the reference derived from
     PAPI_TOT_INS + objdump (aggregate-output-data.py:499-540). Format
-    mirrors PAPI.csv: one row per 'event', kernel x level columns."""
+    mirrors PAPI.csv: one row per 'event', kernel x level columns.
+    `events`: [(event_name, {(kernel, level): value})] — the selection
+    comes from `-p events.conf` (monitor/events.py), defaulting to
+    flops + bytes + calls."""
     filepath = _output_path(prefix, "XLACosts.csv")
     header = ident.header() + "ThreadNum,CpuId,Event,"
     for l in range(num_levels):
         for k in KERNEL_COLUMNS:
             header += f"{k}{l},"
     lines = [header]
-    events = [("XLA_FLOPS_ESTIMATE", flops),
-              ("XLA_BYTES_ACCESSED_ESTIMATE", bytes_accessed)]
-    if calls is not None:
-        events.append(("CALLS", calls))
     for event, data in events:
         row = ident.row() + f"0,0,{event},"
         for l in range(num_levels):

@@ -97,17 +97,26 @@ class KernelStats:
     flops: dict            # (kernel, level) -> flop estimate (XLA)
     bytes_accessed: dict   # (kernel, level) -> bytes estimate (XLA)
     total_time: float = 0.0
+    # full per-kernel cost-analysis dicts (flops, bytes accessed,
+    # transcendentals, optimal_seconds, ...): the pool the -p event
+    # selection draws XLACosts.csv rows from (monitor/events.py)
+    cost_details: dict = dataclasses.field(default_factory=dict)
 
 
-def _cost_of(jitted, *args):
+def _cost_details_of(jitted, *args) -> dict:
     try:
         an = jitted.lower(*args).compile().cost_analysis()
         if isinstance(an, list):
             an = an[0]
-        return (float(an.get("flops", 0.0)),
-                float(an.get("bytes accessed", 0.0)))
+        return {k: float(v) for k, v in dict(an).items()
+                if isinstance(v, (int, float))}
     except Exception:
-        return 0.0, 0.0
+        return {}
+
+
+def _cost_of(jitted, *args):
+    d = _cost_details_of(jitted, *args)
+    return d.get("flops", 0.0), d.get("bytes accessed", 0.0)
 
 
 class InstrumentedSolver:
@@ -259,9 +268,11 @@ class InstrumentedSolver:
         timed kernel — including MG transfers and the RK update — gets a
         flop/byte row in XLACosts.csv."""
         for (name, l), args in self._example_args.items():
-            fl, by = _cost_of(self.k[(name, l)], *args)
-            self.stats.flops[(name, l)] = fl
-            self.stats.bytes_accessed[(name, l)] = by
+            d = _cost_details_of(self.k[(name, l)], *args)
+            self.stats.flops[(name, l)] = d.get("flops", 0.0)
+            self.stats.bytes_accessed[(name, l)] = d.get(
+                "bytes accessed", 0.0)
+            self.stats.cost_details[(name, l)] = d
 
     # --- solver walk ----------------------------------------------------
     def _invalid(self, v) -> int:
@@ -359,10 +370,9 @@ class InstrumentedSolver:
         p2 = write_loop_stats_csv(prefix, ident, dict(self.stats.iters), L)
         paths = [p1, p2]
         if include_costs:
-            if not self.stats.flops:
+            if not self.stats.cost_details:
                 self.record_costs()
+            from .events import event_rows
             paths.append(write_costs_csv(
-                prefix, ident, dict(self.stats.flops),
-                dict(self.stats.bytes_accessed), L,
-                calls=dict(self.stats.calls)))
+                prefix, ident, event_rows(self.config, self.stats), L))
         return tuple(paths)

@@ -39,7 +39,7 @@ from ..ops import (
     prolong_residuals_interpolate,
 )
 from ..solver.solver import t_step_factor, t_compute_fluxes, t_indirect_rw
-from .instrument import KernelStats, _cost_of
+from .instrument import KernelStats, _cost_details_of
 
 
 class InstrumentedShardedSolver:
@@ -320,9 +320,11 @@ class InstrumentedShardedSolver:
 
     def record_costs(self):
         for (name, l), args in self._example_args.items():
-            fl, by = _cost_of(self.k[(name, l)], *args)
-            self.stats.flops[(name, l)] = fl
-            self.stats.bytes_accessed[(name, l)] = by
+            d = _cost_details_of(self.k[(name, l)], *args)
+            self.stats.flops[(name, l)] = d.get("flops", 0.0)
+            self.stats.bytes_accessed[(name, l)] = d.get(
+                "bytes accessed", 0.0)
+            self.stats.cost_details[(name, l)] = d
 
     def dump_hlo(self, out_dir: str) -> list:
         import os
@@ -351,10 +353,9 @@ class InstrumentedShardedSolver:
         p2 = write_loop_stats_csv(prefix, ident, dict(self.stats.iters), L)
         paths = [p1, p2]
         if include_costs:
-            if not self.stats.flops:
+            if not self.stats.cost_details:
                 self.record_costs()
+            from .events import event_rows
             paths.append(write_costs_csv(
-                prefix, ident, dict(self.stats.flops),
-                dict(self.stats.bytes_accessed), L,
-                calls=dict(self.stats.calls)))
+                prefix, ident, event_rows(self.config, self.stats), L))
         return tuple(paths)

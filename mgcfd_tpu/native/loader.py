@@ -18,6 +18,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libmgcfd_native.so")
 _SRC = os.path.join(_HERE, "mesh_parser.cpp")
+_SRC_PACK = os.path.join(_HERE, "window_pack.cpp")
 
 _lock = threading.Lock()
 _lib = None
@@ -49,10 +50,11 @@ def _ensure_built():
         try:
             if (not os.path.exists(_LIB_PATH)
                     or os.path.getmtime(_LIB_PATH)
-                    < os.path.getmtime(_SRC)):
+                    < max(os.path.getmtime(_SRC),
+                          os.path.getmtime(_SRC_PACK))):
                 os.makedirs(_BUILD_DIR, exist_ok=True)
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC,
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, _SRC_PACK,
                      "-o", _LIB_PATH],
                     check=True, capture_output=True, timeout=300)
             lib = ctypes.CDLL(_LIB_PATH)
@@ -67,6 +69,15 @@ def _ensure_built():
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64]
             lib.mgcfd_free_mesh.argtypes = [ctypes.POINTER(_ParsedMesh)]
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.mgcfd_pack_halfedges.restype = ctypes.c_int64
+            lib.mgcfd_pack_halfedges.argtypes = [
+                ctypes.c_int64, i64p, i32p, i32p, i32p, i32p, i32p,
+                i32p, u8p, i64p, u8p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, i32p, i32p, i32p, i32p, i32p]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -122,6 +133,56 @@ def parse_dat_native(path: str, flip_all: bool, need_coords: bool):
             raise IOError(f"native coords parse failed: {coords_path}")
         lvl.coords = coords
     return lvl
+
+
+def pack_halfedges_native(order, ow, lw, o_row, o_lane, g_row, g_lane,
+                          in_range, pair_id, npair,
+                          n_win, kw, l_cap, S):
+    """Native first-fit packer (prep/window.build_halfedge_plan hot
+    loop, bit-identical). Returns (placement, place_src, layer_count,
+    layer_wins, nsrc_used, pair_ok) or None when the toolchain is
+    unavailable."""
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    H = order.shape[0]
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)   # noqa: E731
+    order = np.ascontiguousarray(order, np.int64)
+    ow, lw = i32(ow), i32(lw)
+    o_row, o_lane, g_row, g_lane = (i32(o_row), i32(o_lane), i32(g_row),
+                                    i32(g_lane))
+    in_range = np.ascontiguousarray(in_range, np.uint8)
+    has_pair = pair_id is not None
+    if has_pair:
+        pair_id = np.ascontiguousarray(pair_id, np.int64)
+        pair_ok = np.ones(max(1, npair), np.uint8)
+        # pairs with an out-of-range member are dead before the loop
+        # (the Python reference pre-marks them)
+        pair_ok[pair_id[in_range == 0]] = 0
+    else:
+        pair_ok = np.ones(1, np.uint8)
+    placement = np.full(H, -1, np.int32)
+    place_src = np.zeros(H, np.int32)
+    layer_count = np.zeros(n_win, np.int32)
+    layer_wins = np.zeros((n_win, l_cap, S), np.int32)
+    nsrc_used = np.zeros((n_win, l_cap), np.int32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    lib.mgcfd_pack_halfedges(
+        H, p(order, ctypes.c_int64), p(ow, ctypes.c_int32),
+        p(lw, ctypes.c_int32), p(o_row, ctypes.c_int32),
+        p(o_lane, ctypes.c_int32), p(g_row, ctypes.c_int32),
+        p(g_lane, ctypes.c_int32), p(in_range, ctypes.c_uint8),
+        p(pair_id, ctypes.c_int64) if has_pair else None,
+        p(pair_ok, ctypes.c_uint8),
+        n_win, kw, l_cap, S,
+        p(placement, ctypes.c_int32), p(place_src, ctypes.c_int32),
+        p(layer_count, ctypes.c_int32), p(layer_wins, ctypes.c_int32),
+        p(nsrc_used, ctypes.c_int32))
+    return (placement, place_src, layer_count, layer_wins, nsrc_used,
+            pair_ok.astype(bool) if has_pair else None)
 
 
 def parse_mg_native(path: str):

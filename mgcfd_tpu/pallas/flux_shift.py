@@ -143,6 +143,13 @@ def _kernel(deltas, bn, num_nodes, interpret, rw, q_prev, q_cur, q_next,
 
     h = bn
     win = jnp.concatenate([q_prev[:], q_cur[:], q_next[:]], axis=1)
+    # bfloat16 policy: bf16 is a STORAGE format here — HBM traffic is
+    # halved (the entire point on a memory-bound kernel) but all VPU
+    # arithmetic runs in f32 (bf16's 8 mantissa bits are too coarse for
+    # the dissipation factor, and Mosaic's dynamic_rotate has no bf16
+    # lowering). Casts happen on VMEM-resident tiles, not in HBM.
+    if win.dtype == jnp.bfloat16:
+        win = win.astype(jnp.float32)
     # lanes outside the real node range [0, num_nodes) are substituted
     # with quiescent gas: their weights are zero, but the caller's tail
     # pad (and the clamped boundary windows) may hold arbitrary values,
@@ -153,7 +160,9 @@ def _kernel(deltas, bn, num_nodes, interpret, rw, q_prev, q_cur, q_next,
     quies = jnp.where((row == 0) | (row == 4), 1.0, 0.0).astype(win.dtype)
     win = jnp.where((node >= 0) & (node < num_nodes), win, quies)
     wwin = jnp.concatenate([w_prev[:], w_cur[:]], axis=2)  # (D,4,2BN)
-    acc = jnp.zeros_like(out_ref)
+    if wwin.dtype == jnp.bfloat16:
+        wwin = wwin.astype(jnp.float32)
+    acc = jnp.zeros(out_ref.shape, win.dtype)
     for di, d in enumerate(deltas):
         # edges whose a-side sits at window lane p need q[p], q[p+d],
         # w[p]; evaluate for p in the aligned range [s, s+L) which covers
@@ -171,7 +180,7 @@ def _kernel(deltas, bn, num_nodes, interpret, rw, q_prev, q_cur, q_next,
         #         stay >= pad - d >= 0)
         acc = (acc + val[:, pad: pad + bn]
                - _lane_roll(val, d, interpret)[:, pad: pad + bn])
-    out_ref[...] = acc
+    out_ref[...] = acc.astype(out_ref.dtype)
 
 
 def pallas_shift_available() -> bool:
@@ -230,7 +239,11 @@ class PallasShiftFlux:
         self.deltas = tuple(int(d) for d in deltas)
         self.num_nodes = num_nodes
         dmax = max(self.deltas) if self.deltas else 1
-        bn = block_lanes or max(512, -(-dmax // 128) * 128)
+        # default block is a whole number of 1024-node vreg windows so
+        # the lane-padded state width (k * bn) is shared with the
+        # windowed-gather MG transfer kernels (prep/window.WIN) — they
+        # operate on the same padded arrays with no relayout
+        bn = block_lanes or max(1024, -(-dmax // 1024) * 1024)
         assert bn % 128 == 0 and bn >= dmax
         self.bn = bn
         k = -(-num_nodes // bn)
@@ -336,13 +349,21 @@ def _fused_kernel(deltas, bn, num_nodes, interpret, have_spill, refs):
 
     h = bn
     win = jnp.concatenate([q_prev[:], q_cur[:], q_next[:]], axis=1)
+    # bf16 = storage format only: compute in f32 on VMEM tiles (see
+    # _kernel above)
+    f32 = jnp.float32
+    bf16 = win.dtype == jnp.bfloat16
+    if bf16:
+        win = win.astype(f32)
     node = (jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
             + (pl.program_id(0) - 1) * bn)
     row = jax.lax.broadcasted_iota(jnp.int32, win.shape, 0)
     quies = jnp.where((row == 0) | (row == 4), 1.0, 0.0).astype(win.dtype)
     win = jnp.where((node >= 0) & (node < num_nodes), win, quies)
     wwin = jnp.concatenate([w_prev[:], w_cur[:]], axis=2)
-    acc = jnp.zeros_like(out_ref)
+    if bf16:
+        wwin = wwin.astype(f32)
+    acc = jnp.zeros(out_ref.shape, win.dtype)
     for di, d in enumerate(deltas):
         pad = _ceil128(d)
         s = h - pad
@@ -354,11 +375,14 @@ def _fused_kernel(deltas, bn, num_nodes, interpret, have_spill, refs):
         acc = (acc + val[:, pad: pad + bn]
                - _lane_roll(val, d, interpret)[:, pad: pad + bn])
     # dense boundary/wall on the current block (nc is zero on pad lanes)
-    acc = acc + _bw_flux(win[:, h:2 * h], nc_ref[:])
+    nc = nc_ref[:].astype(f32) if bf16 else nc_ref[:]
+    acc = acc + _bw_flux(win[:, h:2 * h], nc)
     if spill_ref is not None:
-        acc = acc + spill_ref[:]
-    qnew = old_ref[:] + fac_ref[:] * acc
-    out_ref[...] = qnew
+        acc = acc + (spill_ref[:].astype(f32) if bf16 else spill_ref[:])
+    old = old_ref[:].astype(f32) if bf16 else old_ref[:]
+    fac = fac_ref[:].astype(f32) if bf16 else fac_ref[:]
+    qnew = old + fac * acc
+    out_ref[...] = qnew.astype(out_ref.dtype)
     # invalid-state count (validation.cpp:107-138): NaN/Inf anywhere,
     # negative density or energy; pad lanes hold finite far-field gas
     bad = (jnp.sum((~jnp.isfinite(qnew)).astype(jnp.int32))

@@ -103,7 +103,15 @@ def _window_kernel(S, l_max, nch, math, nw, local_x,
     # the whole state and the base is added in-kernel.
     w = pl.program_id(0)
     off = 0 if local_x else base_ref[w]
-    qo = [x_ref[off + own_ref[w], ch] for ch in range(nch)]
+    # bf16 = storage format only: gathers and VPU math run on f32 VMEM
+    # tiles (Mosaic's dynamic_gather has no bf16 path, and the flux
+    # arithmetic needs f32 mantissas) — casts are per-(8,128) tile
+    bf16 = x_ref.dtype == jnp.bfloat16
+
+    def up(x):
+        return x.astype(jnp.float32) if bf16 else x
+
+    qo = [up(x_ref[off + own_ref[w], ch]) for ch in range(nch)]
 
     def body(l, acc):
         sel = wsel_ref[0, l]
@@ -112,19 +120,20 @@ def _window_kernel(S, l_max, nch, math, nw, local_x,
         qn = []
         for ch in range(nch):
             t1 = jnp.take_along_axis(
-                x_ref[off + lwins_ref[0, l, 0], ch], ci, axis=1)
+                up(x_ref[off + lwins_ref[0, l, 0], ch]), ci, axis=1)
             for s in range(1, S):
                 t1s = jnp.take_along_axis(
-                    x_ref[off + lwins_ref[0, l, s], ch], ci, axis=1)
+                    up(x_ref[off + lwins_ref[0, l, s], ch]), ci, axis=1)
                 t1 = jnp.where(sel == s, t1s, t1)
             qn.append(jnp.take_along_axis(t1, rs, axis=0))
-        vals = math(qo, qn, [w_ref[0, l, k] for k in range(nw)])
+        vals = math(qo, qn, [up(w_ref[0, l, k]) for k in range(nw)])
         return tuple(a + v for a, v in zip(acc, vals))
 
-    zero = jnp.zeros((8, 128), o_ref.dtype)
+    zero = jnp.zeros((8, 128),
+                     jnp.float32 if bf16 else o_ref.dtype)
     acc = jax.lax.fori_loop(0, nl_ref[w], body, (zero,) * 5)
     for v in range(5):
-        o_ref[0, v] = acc[v]
+        o_ref[0, v] = acc[v].astype(o_ref.dtype)
 
 
 class PallasWindowFlux:

@@ -105,6 +105,10 @@ class ShardedLevelData:
     win_spill_dest: np.ndarray | None = None  # (P, Hs) i32 local dest
     win_spill_src: np.ndarray | None = None   # (P, Hs) i32 combined src
     win_spill_w: np.ndarray | None = None     # (P, Hs, 3) signed normal
+    win_sec_order: np.ndarray | None = None   # (P, P) i32: per-shard halo
+    # pool SECTION order — most-referenced source shards first, so their
+    # windows fall inside the kw neighborhood of block-tail owners (the
+    # all_gather'd pool is statically reordered per shard)
     win_stats: list | None = None          # per-shard plan statistics
     # sizes
     num_nodes: int = 0
@@ -329,6 +333,10 @@ def _attach_window_plans(sl: ShardedLevelData, lvl: MeshLevel, P: int,
     eb = lvl.edge_b.astype(np.int64)
     pa, pb = part(ea), part(eb)
     halves = []
+    sec_order = np.tile(np.arange(P, dtype=np.int32), (P, 1))
+    pos = np.tile(np.arange(P, dtype=np.int64), (P, 1))
+    raw = []
+    refcnt = np.zeros((P, P), np.int64)
     for p in range(P):
         sa = pa == p
         sb = pb == p
@@ -338,7 +346,24 @@ def _attach_window_plans(sl: ShardedLevelData, lvl: MeshLevel, P: int,
                              np.full(nbr_global.shape[0], p)).astype(
             np.int64)
         w3 = np.concatenate([lvl.edge_w[sa], -lvl.edge_w[sb]])
-        halves.append((owner.astype(np.int64), nbr, w3))
+        raw.append((owner.astype(np.int64), nbr, w3))
+        fsec = (nbr[nbr >= Bs] - Bs) // smax
+        np.add.at(refcnt[p], fsec.astype(np.int64), 1)
+    # per-shard pool-section reorder: the halo pool sits AFTER the block
+    # in the neighbor space, and only its first kw-ish windows are
+    # reachable from block-tail owners — put the sections this shard
+    # actually references first (typically the adjacent shards), pushing
+    # never-referenced sections out of reach instead of needed ones
+    for p in range(P):
+        order = np.argsort(-refcnt[p], kind="stable").astype(np.int32)
+        sec_order[p] = order
+        pos[p, order] = np.arange(P)
+    for p, (owner, nbr, w3) in enumerate(raw):
+        foreign = nbr >= Bs
+        sec = np.clip((nbr - Bs) // smax, 0, P - 1)
+        rank = (nbr - Bs) % smax
+        nbr = np.where(foreign, Bs + pos[p, sec] * smax + rank, nbr)
+        halves.append((owner, nbr, w3))
     # one kw across shards: the stacked plans share kernel shapes
     kw = max(needed_kw(o, nb, anchor, n_win_src) for o, nb, _ in halves)
 
@@ -386,6 +411,7 @@ def _attach_window_plans(sl: ShardedLevelData, lvl: MeshLevel, P: int,
         [_pad_to(pl.spill_b, hs, 0) for pl in plans])
     sl.win_spill_w = np.stack(
         [_pad_to(pl.spill_w.reshape(-1, 3), hs, 0.0) for pl in plans])
+    sl.win_sec_order = sec_order
     import dataclasses as _dc
     sl.win_template = _dc.replace(
         plans[0], l_max=l_max,

@@ -56,10 +56,13 @@ def _window_exchange(sd, const, qv, padded_in):
     """Gather-only halo: [local block | all-gathered separator pool],
     lane-padded to whole windows with a physical state (the channel
     build computes 1/rho — padding must stay finite; no live slot
-    references the pad lanes)."""
+    references the pad lanes). Pool SECTIONS are reordered per shard
+    (win_sec_order) so the sections this shard references sit right
+    after the block, inside the plan's kw neighborhood."""
     pool_sz = sd.P * sd.smax
     sep_vals = qv[:, const["sep_idx"]]          # (5, Smax)
     pool = jax.lax.all_gather(sep_vals, AXIS)   # (P, 5, Smax)
+    pool = pool[const["win_sec_order"]]         # per-shard section order
     comb = jnp.concatenate(
         [qv, pool.transpose(1, 0, 2).reshape(NVAR, pool_sz)], axis=1)
     pad = padded_in - comb.shape[1]
@@ -365,6 +368,7 @@ def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
             "wsp_dest": to_dev(sd.win_spill_dest, jnp.int32),
             "wsp_src": to_dev(sd.win_spill_src, jnp.int32),
             "wsp_w": to_dev(sd.win_spill_w),
+            "win_sec_order": to_dev(sd.win_sec_order, jnp.int32),
         })
     if sd.mg_mapping is not None:
         sharded_const.update({

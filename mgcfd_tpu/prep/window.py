@@ -221,6 +221,27 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
     rank = np.empty(H, np.int64)
     rank[so] = np.arange(H) - np.repeat(starts, lens)
     order = np.lexsort((lw, rank, ow))
+
+    # native fast path: the same first-fit loop in C++ (bit-identical
+    # plans; native/window_pack.cpp) — ~50x the Python loop, which
+    # remains below as the specification and toolchain-free fallback
+    native = None
+    try:
+        from ..native.loader import pack_halfedges_native
+        npair = (int(pair_id.max()) + 1
+                 if (pair_id is not None and H) else 0)
+        native = pack_halfedges_native(
+            order, ow, lw, o_row, o_lane, g_row, g_lane, in_range,
+            pair_id, npair, n_win, kw, l_cap, S)
+    except Exception:
+        native = None
+    if native is not None:
+        (placement, place_src, layer_count[...], layer_wins[...],
+         nsrc_used[...], pair_ok_native) = native
+        if pair_ok_native is not None:
+            pair_ok = pair_ok_native
+        return _finish_plan(locals())
+
     ow_l = ow.tolist(); lw_l = lw.tolist()
     orow_l = o_row.tolist(); olane_l = o_lane.tolist()
     grow_l = g_row.tolist(); glane_l = g_lane.tolist()
@@ -268,9 +289,26 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
         placement[h] = layer
         place_src[h] = src
 
-    ok = placement >= 0
     if pair_ok_l is not None:
         pair_ok = np.asarray(pair_ok_l, bool)
+    return _finish_plan(locals())
+
+
+def _finish_plan(ns):
+    """Shared tail of build_halfedge_plan (vectorized slot fills + plan
+    assembly) for the native and Python packer paths; `ns` is the
+    caller's locals()."""
+    (placement, place_src, pair_ok, pair_id, ow, o_row, o_lane, g_row,
+     g_lane, wcols, K) = (ns[k] for k in (
+        "placement", "place_src", "pair_ok", "pair_id", "ow", "o_row",
+        "o_lane", "g_row", "g_lane", "wcols", "K"))
+    (n_win, kw, S, num_nbr_nodes, n_win_src, base_win, own_local,
+     layer_count, layer_wins, wsel, col_idx, row_sel, w4) = (ns[k] for k in (
+        "n_win", "kw", "S", "num_nbr_nodes", "n_win_src", "base_win",
+        "own_local", "layer_count", "layer_wins", "wsel", "col_idx",
+        "row_sel", "w4"))
+    ok = placement >= 0
+    if pair_ok is not None and pair_id is not None:
         ok &= pair_ok[pair_id]
     hp = np.flatnonzero(ok)
     lay = placement[hp]
@@ -361,7 +399,8 @@ def reconstruct_half_edges(plan: WindowPlan):
 
 
 def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
-                         l_cap: int = 64) -> dict:
+                         l_cap: int = 64,
+                         num_fine_pad: int | None = None) -> dict:
     """Windowed prolongation (mg_loops.cpp:678-864 live operator).
 
     With G[n] = rc[mapping[n]] (one lane-gather of the coarse residual),
@@ -404,7 +443,8 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
     wsum = dense_local.copy()
     np.add.at(wsum, a2, B1)
 
-    plan, ok = build_halfedge_plan(n, a2, b2, B1[:, None], l_cap=l_cap)
+    plan, ok = build_halfedge_plan(num_fine_pad or n, a2, b2,
+                                   B1[:, None], l_cap=l_cap)
     sp = ~ok
     return {"plan": plan,
             "dense_local": dense_local, "wsum": wsum,
@@ -510,17 +550,26 @@ def _unpack_plan_npz(flat):
 
 
 def build_restrict_window(mapping: np.ndarray, num_fine: int,
-                          num_coarse: int, l_cap: int = 64) -> dict:
+                          num_coarse: int, l_cap: int = 64,
+                          num_fine_pad: int | None = None,
+                          num_coarse_pad: int | None = None) -> dict:
     """Windowed restriction (mg_loops.cpp:30-202 semantics): each coarse
     OWNER gathers its fine children with weight 1/count — the segment
     mean directly, cross-space (num_nbr_nodes = fine). Unmapped coarse
-    nodes keep their old value (the caller applies `mapped`)."""
-    counts = np.bincount(mapping, minlength=num_coarse)
+    nodes keep their old value (the caller applies `mapped`).
+
+    num_fine_pad/num_coarse_pad: build the plan directly in LANE-PADDED
+    node spaces (solver num_lanes) so the kernel reads/writes the padded
+    state arrays with no per-call relayout — pad lanes are unmapped /
+    childless and inert."""
+    nfp = num_fine_pad or num_fine
+    ncp = num_coarse_pad or num_coarse
+    counts = np.bincount(mapping, minlength=ncp)
     w = (1.0 / np.maximum(counts, 1))[mapping]
     owner = mapping.astype(np.int64)
     nbr = np.arange(num_fine, dtype=np.int64)
-    plan, ok = build_halfedge_plan(num_coarse, owner, nbr, w[:, None],
-                                   l_cap=l_cap, num_nbr_nodes=num_fine)
+    plan, ok = build_halfedge_plan(ncp, owner, nbr, w[:, None],
+                                   l_cap=l_cap, num_nbr_nodes=nfp)
     sp = ~ok
     return {"plan": plan, "mapped": counts > 0,
             "spill_fine": nbr[sp].astype(np.int32),

@@ -284,7 +284,20 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                     pst["structured"] = (tuple(fine.structured_dims),
                                          tuple(coarse.structured_dims))
                 dlevels[i].prolong_shift_tables = pst
-            if (config.accumulate == "window"
+            # windowed MG transfers serve BOTH padded-kernel modes: the
+            # plans are built directly in the lane-padded node spaces
+            # (num_lanes — 1024-aligned for window AND pallas since the
+            # shift megakernel's block is a whole number of vreg
+            # windows), so kernels read/write the padded state with no
+            # per-call relayout. For pallas/box this replaces the parity
+            # slice restrict (27 GB/s) + upsample broadcast (32 GB/s)
+            # measured at ~1.3 ms/cycle on the fused flagship (xprof).
+            fine_pad = dlevels[i].num_lanes or fine.num_nodes
+            coarse_pad = dlevels[i + 1].num_lanes or coarse.num_nodes
+            use_win_mg = (config.accumulate in ("window", "pallas")
+                          and fine_pad % 1024 == 0
+                          and coarse_pad % 1024 == 0)
+            if (use_win_mg
                     and fine.mg_mapping.shape[0] == fine.num_nodes):
                 # windowed restriction: coarse owners gather their fine
                 # children at weight 1/count (cross-space plan) — the
@@ -294,18 +307,20 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 from ..pallas.flux_window import PallasWindowFlux as _PW
                 rwb = _cp(config.plan_cache_dir, "restrict",
                           (fine.mg_mapping,
-                           np.asarray([fine.num_nodes,
-                                       coarse.num_nodes])),
+                           np.asarray([fine.num_nodes, coarse.num_nodes,
+                                       fine_pad, coarse_pad])),
                           lambda fine=fine, coarse=coarse:
                           build_restrict_window(fine.mg_mapping,
                                                 fine.num_nodes,
-                                                coarse.num_nodes))
+                                                coarse.num_nodes,
+                                                num_fine_pad=fine_pad,
+                                                num_coarse_pad=coarse_pad))
                 rk = _PW(rwb["plan"], coarse.num_nodes, dtype=dtype,
                          interpret=jax.default_backend() == "cpu",
                          mode="wsum")
                 Pc = rk.padded
                 mapped_pad = np.zeros(Pc, bool)
-                mapped_pad[:coarse.num_nodes] = rwb["mapped"]
+                mapped_pad[:rwb["mapped"].shape[0]] = rwb["mapped"]
                 dlevels[i].restrict_window = {
                     "kernel": rk, "arrays": rk.arrays,
                     "mapped": jnp.asarray(mapped_pad),
@@ -313,7 +328,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                     "spill_coarse": put(rwb["spill_coarse"], jnp.int32),
                     "spill_w": put(rwb["spill_w"]),
                 }
-            if (config.accumulate == "window"
+            if (use_win_mg
                     and fine.coords is not None
                     and coarse.coords is not None
                     and fine.mg_mapping.shape[0] == fine.num_nodes):
@@ -327,9 +342,11 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 pwb = cached_plan(
                     config.plan_cache_dir, "prolong",
                     (fine.edge_a, fine.edge_b, fine.coords,
-                     coarse.coords, fine.mg_mapping),
+                     coarse.coords, fine.mg_mapping,
+                     np.asarray([fine_pad])),
                     lambda fine=fine, coarse=coarse:
-                    build_prolong_window(fine, coarse))
+                    build_prolong_window(fine, coarse,
+                                         num_fine_pad=fine_pad))
                 interp = jax.default_backend() == "cpu"
                 wk = PallasWindowFlux(pwb["plan"], fine.num_nodes,
                                       dtype=dtype, interpret=interp,
@@ -689,7 +706,9 @@ def apply_prolong_padded(fine: DeviceLevel, coarse: DeviceLevel,
     lanes are masked by `live` so the padding is untouched. Falls back
     to apply_prolong on real-width views + lane_writeback."""
     pw = fine.prolong_window
-    if tstate and pw is not None:
+    structured = (fine.prolong_shift_tables is not None
+                  and "structured" in fine.prolong_shift_tables)
+    if tstate and pw is not None and not structured:
         G = res_c[:, pw["parent"]]                   # (5, P) lane gather
         acc = pw["dense_local"][None] * G \
             + pw["kernel"](G, arrays=pw["arrays"])

@@ -84,6 +84,15 @@ def test_generate_and_aggregate(tmp_path):
     # utilization columns exist; 0 on CPU (unknown peak), >0 on TPU
     assert "pct peak HBM" in flux_rows[0]
     assert "pct peak FLOPs" in flux_rows[0]
+    # dynamic per-iteration arithmetic (reference FLOPs/iter analogue)
+    assert flux_rows[0]["flops/iter"] > 0
+    assert flux_rows[0]["bytes/iter"] > 0
+    # the captured HLO is consumed: static instruction-mix columns
+    # sourced from hlo/flux0.hlo.txt (VERDICT r02 #7 — the artifact was
+    # previously write-only)
+    assert flux_rows[0]["hlo ops"] > 0
+    assert flux_rows[0]["hlo arith"] > 0
+    assert flux_rows[0]["hlo indexed"] > 0   # segment-mode gathers
     out = write_combined(str(tmp_path / "combined.csv"), rows)
     assert os.path.getsize(out) > 0
 

@@ -30,6 +30,32 @@ def dataset(tmp_path_factory):
     return d, mesh
 
 
+def test_event_selection_p_flag(dataset, tmp_path, capsys):
+    """-p events.conf selects the XLACosts.csv rows (the reference's
+    configurable-PAPI-counters contract, papi_funcs.cpp:95-253 /
+    io_enhanced.cpp:582-627): chosen events appear, unchosen don't,
+    unknown names warn and are skipped."""
+    d, mesh = dataset
+    conf = tmp_path / "events.conf"
+    conf.write_text("# comment\nXLA_TRANSCENDENTALS_ESTIMATE\n"
+                    "CALLS\nPAPI_TOT_BOGUS\n")
+    rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "2",
+                   "-o", str(tmp_path) + "/", "--dtype", "float64",
+                   "--monitor", "instrumented", "-p", str(conf)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PAPI_TOT_BOGUS" in out and "not supported" in out
+    txt = (tmp_path / "XLACosts.csv").read_text()
+    assert "XLA_TRANSCENDENTALS_ESTIMATE" in txt
+    assert "CALLS" in txt
+    assert "XLA_FLOPS_ESTIMATE" not in txt
+    # the transcendental row is live: flux does sqrt chains
+    row = [l for l in txt.splitlines()
+           if "XLA_TRANSCENDENTALS_ESTIMATE" in l][0]
+    ncols = txt.splitlines()[0].split(",").index("flux0")
+    assert float(row.split(",")[ncols]) > 0
+
+
 def test_cli_runs_and_dumps(dataset, tmp_path, capsys):
     d, mesh = dataset
     rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "3",

@@ -184,3 +184,30 @@ def test_element_blocked_path_matches(tet_level, plan, monkeypatch):
     blocked = np.asarray(FW.PallasWindowFlux(plan, N, dtype=q.dtype,
                                              interpret=True)(q))
     np.testing.assert_array_equal(whole, blocked)
+
+
+def test_native_packer_bit_identical():
+    """The C++ first-fit packer (native/window_pack.cpp) must produce
+    the EXACT plan the Python reference loop produces — same layers,
+    same sources, same spills (it is a port, not a reimplementation)."""
+    import numpy as np
+    import pytest
+    import mgcfd_tpu.prep.window as W
+    import mgcfd_tpu.native.loader as L
+    from mgcfd_tpu.mesh.unstructured import generate_unstructured_mesh
+    if not L.native_available():
+        pytest.skip("native toolchain unavailable")
+    lvl = generate_unstructured_mesh(10, 9, 9, seed=5, jitter=0.45)
+    p1 = W.build_window_plan(lvl, l_cap=24)  # low cap: force spilling
+    orig = L.pack_halfedges_native
+    L.pack_halfedges_native = lambda *a, **k: None
+    try:
+        p2 = W.build_window_plan(lvl, l_cap=24)
+    finally:
+        L.pack_halfedges_native = orig
+    for f in ("base_win", "own_local", "layer_count", "layer_wins",
+              "wsel", "col_idx", "row_sel", "w4", "spill_a", "spill_b",
+              "spill_w"):
+        np.testing.assert_array_equal(getattr(p1, f), getattr(p2, f))
+    assert p1.num_half_edges == p2.num_half_edges
+    assert p1.num_spilled_edges == p2.num_spilled_edges
