@@ -125,7 +125,10 @@ def _lane_roll(x, shift, interpret):
     if interpret:
         return jnp.roll(x, shift, axis=-1)
     from jax.experimental.pallas import tpu as pltpu
-    return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
+    # jnp.int32, not a bare Python int: under jax_enable_x64 the shift
+    # weak-types to i64, which tpu.dynamic_rotate rejects
+    return pltpu.roll(x, jnp.int32(shift % x.shape[-1]),
+                      axis=x.ndim - 1)
 
 
 def _ceil128(d: int) -> int:
@@ -385,9 +388,15 @@ def _fused_kernel(deltas, bn, num_nodes, interpret, have_spill, refs):
     out_ref[...] = qnew.astype(out_ref.dtype)
     # invalid-state count (validation.cpp:107-138): NaN/Inf anywhere,
     # negative density or energy; pad lanes hold finite far-field gas
-    bad = (jnp.sum((~jnp.isfinite(qnew)).astype(jnp.int32))
-           + jnp.sum((qnew[0] < 0).astype(jnp.int32))
-           + jnp.sum((qnew[4] < 0).astype(jnp.int32)))
+    # count in f32, not ints: with jax_enable_x64 integer reductions
+    # route through an i64 convert that Mosaic cannot lower; f32 counts
+    # are exact far beyond any block size (< 2^24)
+    one = jnp.float32(1.0)
+    zero32 = jnp.float32(0.0)
+    bad_f = (jnp.sum(jnp.where(jnp.isfinite(qnew), zero32, one))
+             + jnp.sum(jnp.where(qnew[0] < 0, one, zero32))
+             + jnp.sum(jnp.where(qnew[4] < 0, one, zero32)))
+    bad = bad_f.astype(jnp.int32)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():

@@ -119,13 +119,13 @@ def _window_kernel(S, l_max, nch, math, nw, local_x,
         rs = rs_ref[0, l]
         qn = []
         for ch in range(nch):
-            t1 = jnp.take_along_axis(
+            t1 = _take_i32(
                 up(x_ref[off + lwins_ref[0, l, 0], ch]), ci, axis=1)
             for s in range(1, S):
-                t1s = jnp.take_along_axis(
+                t1s = _take_i32(
                     up(x_ref[off + lwins_ref[0, l, s], ch]), ci, axis=1)
                 t1 = jnp.where(sel == s, t1s, t1)
-            qn.append(jnp.take_along_axis(t1, rs, axis=0))
+            qn.append(_take_i32(t1, rs, axis=0))
         vals = math(qo, qn, [up(w_ref[0, l, k]) for k in range(nw)])
         return tuple(a + v for a, v in zip(acc, vals))
 
@@ -134,6 +134,213 @@ def _window_kernel(S, l_max, nch, math, nw, local_x,
     acc = jax.lax.fori_loop(0, nl_ref[w], body, (zero,) * 5)
     for v in range(5):
         o_ref[0, v] = acc[v].astype(o_ref.dtype)
+
+
+
+def _take_i32(a, idx, axis):
+    """jnp.take_along_axis with int32 indexing pinned: under
+    jax_enable_x64 jnp unconditionally converts gather indices to the
+    default int dtype (int64), which Mosaic cannot lower. The x64
+    toggle only affects the index conversion — operand dtype is
+    preserved (verified f64-in/f64-out)."""
+    with jax.enable_x64(False):
+        return jnp.take_along_axis(a, idx, axis=axis)
+
+
+def _bw_flux_ch(qo, nc):
+    """Dense aggregated boundary+wall flux from the owner window's
+    channel stack (rho, mx, my, mz, E, p, s, inv_rho) and the node
+    constants nc (rows 0:3 summed boundary normals, 3:6 summed wall
+    normals, 6:11 far-field wall constant) — ops.tops.
+    t_dense_boundary_wall_flux open-coded on (8, 128) tiles."""
+    rho, mx, my, mz, E, p, _s, inv = qo
+    del rho
+    vx, vy, vz = mx * inv, my * inv, mz * inv
+    bx, by, bz = nc[0], nc[1], nc[2]
+    hx, hy, hz = 0.5 * nc[3], 0.5 * nc[4], 0.5 * nc[5]
+    de_p = E + p
+    return (
+        hx * mx + hy * my + hz * mz + nc[6],
+        bx * p + hx * (vx * mx + p) + hy * (vx * my) + hz * (vx * mz)
+        + nc[7],
+        by * p + hx * (vy * mx) + hy * (vy * my + p) + hz * (vy * mz)
+        + nc[8],
+        bz * p + hx * (vz * mx) + hy * (vz * my) + hz * (vz * mz + p)
+        + nc[9],
+        hx * (vx * de_p) + hy * (vy * de_p) + hz * (vz * de_p) + nc[10],
+    )
+
+
+def _window_fused_kernel(S, l_max, nch, nw, local_x, have_spill, refs):
+    """One RK stage on one owner window: windowed flux + dense
+    boundary/wall + time_step + invalid count in a single launch (the
+    windowed twin of flux_shift._fused_kernel; reference stage sequence
+    euler3d_cpu_double.cpp:383-512)."""
+    from jax.experimental import pallas as pl
+
+    if have_spill:
+        (base_ref, nl_ref, own_ref, x_ref, lwins_ref, wsel_ref, ci_ref,
+         rs_ref, w_ref, nc_ref, old_ref, fac_ref, spill_ref,
+         o_ref, inv_ref) = refs
+    else:
+        (base_ref, nl_ref, own_ref, x_ref, lwins_ref, wsel_ref, ci_ref,
+         rs_ref, w_ref, nc_ref, old_ref, fac_ref,
+         o_ref, inv_ref) = refs
+        spill_ref = None
+    w = pl.program_id(0)
+    off = 0 if local_x else base_ref[w]
+    bf16 = x_ref.dtype == jnp.bfloat16
+
+    def up(x):
+        return x.astype(jnp.float32) if bf16 else x
+
+    qo = [up(x_ref[off + own_ref[w], ch]) for ch in range(nch)]
+
+    def body(l, acc):
+        sel = wsel_ref[0, l]
+        ci = ci_ref[0, l]
+        rs = rs_ref[0, l]
+        qn = []
+        for ch in range(nch):
+            t1 = _take_i32(
+                up(x_ref[off + lwins_ref[0, l, 0], ch]), ci, axis=1)
+            for s in range(1, S):
+                t1s = _take_i32(
+                    up(x_ref[off + lwins_ref[0, l, s], ch]), ci, axis=1)
+                t1 = jnp.where(sel == s, t1s, t1)
+            qn.append(_take_i32(t1, rs, axis=0))
+        ws = [up(w_ref[0, l, k]) for k in range(nw)]
+        vals = _flux_math(qo, qn, ws[0], ws[1], ws[2], ws[3])
+        return tuple(a + v for a, v in zip(acc, vals))
+
+    zero = jnp.zeros((8, 128), jnp.float32 if bf16 else o_ref.dtype)
+    acc = jax.lax.fori_loop(0, nl_ref[w], body, (zero,) * 5)
+    bw = _bw_flux_ch(qo, [up(nc_ref[0, k]) for k in range(11)])
+    fac = up(fac_ref[0, 0])
+    bad = jnp.float32(0.0)
+    for v in range(5):
+        a = acc[v] + bw[v]
+        if spill_ref is not None:
+            a = a + up(spill_ref[0, v])
+        qnew = up(old_ref[0, v]) + fac * a
+        o_ref[0, v] = qnew.astype(o_ref.dtype)
+        # in-kernel invalid count (validation.cpp:107-138); f32 count —
+        # under jax_enable_x64 integer reduces route through i64, which
+        # Mosaic cannot lower
+        badv = jnp.where(jnp.isfinite(qnew), 0.0, 1.0)
+        if v in (0, 4):
+            badv = badv + jnp.where(qnew < 0, 1.0, 0.0)
+        bad = bad + jnp.sum(badv.astype(jnp.float32))
+
+    @pl.when(w == 0)
+    def _init():
+        inv_ref[0, 0] = 0
+
+    inv_ref[0, 0] += bad.astype(jnp.int32)
+
+
+class PallasWindowFusedStage:
+    """Fused RK stage over the windowed flux plan: __call__(q, old, fac,
+    spill=None, arrays=None) -> (q_next, invalid_count), all in the
+    (5, padded) variable-major layout with fac = step_factor/(RK+1-j).
+    nc (dense boundary/wall aggregates + far-field wall constant) is a
+    kernel constant in the window tile layout. Owner and neighbor node
+    spaces must coincide (padded == padded_in): the solver's lane
+    padding guarantees it on single-chip levels."""
+
+    def __init__(self, base: PallasWindowFlux, bd_normal, wall_normal,
+                 wall_const, dtype=jnp.float32):
+        self.base = base
+        plan = base.plan
+        assert base.padded == base.padded_in, (
+            "fused window stage requires owner space == neighbor space")
+        self.padded = base.padded
+        self.interpret = base.interpret
+        P = self.padded
+        nc = np.zeros((11, P))
+        n = min(P, np.asarray(bd_normal).shape[1])
+        nc[0:3, :n] = np.asarray(bd_normal)[:, :n]
+        nc[3:6, :n] = np.asarray(wall_normal)[:, :n]
+        nc[6:11, :n] = np.asarray(wall_const)[:, :n]
+        # window tile layout: node j -> (win j//1024, row j%8, lane (j//8)%128)
+        self.nc = jnp.asarray(
+            nc.reshape(11, plan.n_win, 128, 8).transpose(1, 0, 3, 2),
+            dtype)
+
+    def _tile(self, a, rows):
+        plan = self.base.plan
+        return a.reshape(rows, plan.n_win, 128, 8).transpose(1, 0, 3, 2)
+
+    def __call__(self, q, old, fac, spill=None, arrays=None):
+        base = self.base
+        plan = base.plan
+        arrays = base.arrays if arrays is None else arrays
+        assert q.shape[1] == self.padded
+        nch, _ = _MATH["flux"]
+        nw = plan.w4.shape[2]
+        X = base._channels(q)
+        Xw = X.reshape(nch, plan.src_windows, 128, 8).transpose(1, 0, 3, 2)
+        old_w = self._tile(old, 5)
+        fac_w = self._tile(fac[None], 1)
+        have_spill = spill is not None
+
+        grid = (plan.n_win,)
+        S, l_max = plan.n_src, plan.l_max
+        whole_x = plan.src_windows * nch * 4096 <= WHOLE_X_LIMIT_BYTES
+        kern = functools.partial(_window_fused_kernel, S, l_max, nch,
+                                 nw, not whole_x, have_spill)
+
+        def body(*refs):
+            kern(refs)
+
+        if whole_x:
+            x_spec = pl.BlockSpec(Xw.shape, lambda w, *_: (0, 0, 0, 0))
+        else:
+            x_spec = pl.BlockSpec(
+                (pl.Element(plan.kw), pl.Element(nch), pl.Element(8),
+                 pl.Element(128)),
+                lambda w, base, *_: (base[w], 0, 0, 0))
+        in_specs = [
+            x_spec,
+            pl.BlockSpec((1, l_max, S), lambda w, *_: (w, 0, 0)),
+            pl.BlockSpec((1, l_max, 8, 128), lambda w, *_: (w, 0, 0, 0)),
+            pl.BlockSpec((1, l_max, 8, 128), lambda w, *_: (w, 0, 0, 0)),
+            pl.BlockSpec((1, l_max, 8, 128), lambda w, *_: (w, 0, 0, 0)),
+            pl.BlockSpec((1, l_max, nw, 8, 128),
+                         lambda w, *_: (w, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 11, 8, 128), lambda w, *_: (w, 0, 0, 0)),
+            pl.BlockSpec((1, 5, 8, 128), lambda w, *_: (w, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 8, 128), lambda w, *_: (w, 0, 0, 0)),
+        ]
+        args = [arrays["base"], arrays["nl"], arrays["own"], Xw,
+                arrays["lwins"], arrays["wsel"], arrays["ci"],
+                arrays["rs"], arrays["w4"], self.nc, old_w, fac_w]
+        if have_spill:
+            in_specs.append(pl.BlockSpec((1, 5, 8, 128),
+                                         lambda w, *_: (w, 0, 0, 0)))
+            args.append(self._tile(spill, 5))
+        from jax.experimental.pallas import tpu as pltpu
+        out, inv = pl.pallas_call(
+            body,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=(
+                    pl.BlockSpec((1, 5, 8, 128),
+                                 lambda w, *_: (w, 0, 0, 0)),
+                    pl.BlockSpec((1, 1), lambda w, *_: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((plan.n_win, 5, 8, 128), q.dtype),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ),
+            interpret=self.interpret,
+        )(*args)
+        qnew = out.transpose(1, 0, 3, 2).reshape(5, self.padded)
+        return qnew, inv[0, 0]
 
 
 class PallasWindowFlux:

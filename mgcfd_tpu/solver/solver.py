@@ -68,6 +68,7 @@ class DeviceLevel:
     pallas_fused: Optional[Any] = None  # fused RK-stage kernel
     pallas_rw: Optional[Any] = None   # indirect_rw twin kernel
     window_flux: Optional[Any] = None  # PallasWindowFlux (unstructured)
+    window_fused: Optional[Any] = None  # fused RK-stage window kernel
     window_rw: Optional[Any] = None    # its indirect_rw twin
     window_arrays: Optional[Any] = None  # plan arrays (travel as jit args)
     prolong_window: Optional[Any] = None  # dict, see build_prolong_window
@@ -122,6 +123,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
         pallas_flux = None
         pallas_fused = None
         window_flux = None
+        window_fused = None
         window_rw = None
         window_arrays = None
         if config.accumulate == "window":
@@ -151,6 +153,11 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 l.num_nodes, l.bedge_b, l.bedge_w, l.wedge_b, l.wedge_w,
                 far_field_state(np.float64)[1])
             dense_bw_t = (put(bdn), put(wln), put(wlc))
+            if (config.fuse_stage
+                    and window_flux.padded == window_flux.padded_in):
+                from ..pallas.flux_window import PallasWindowFusedStage
+                window_fused = PallasWindowFusedStage(
+                    window_flux, bdn, wln, wlc, dtype=dtype)
         if config.accumulate in ("shift", "pallas"):
             from ..prep.shift import build_shift_plan
             plan = build_shift_plan(l)
@@ -208,6 +215,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
             dense_bw_t=dense_bw_t, pallas_flux=pallas_flux,
             pallas_fused=pallas_fused,
             pallas_rw=pallas_rw, window_flux=window_flux,
+            window_fused=window_fused,
             window_rw=window_rw, window_arrays=window_arrays,
             num_lanes=num_lanes,
             volumes=put(vol_host),
@@ -564,8 +572,14 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
 
     invalid = jnp.int32(0)
     rw_token = jnp.zeros((), variables.dtype)
-    if (config.accumulate == "pallas" and lvl.pallas_fused is not None
-            and not config.flux_cripple):
+    fused = None
+    if config.accumulate == "pallas" and lvl.pallas_fused is not None:
+        fused = lvl.pallas_fused
+    elif config.accumulate == "window" and lvl.window_fused is not None:
+        def fused(qq, oo, ff, sp, lvl=lvl):
+            return lvl.window_fused(qq, oo, ff, sp,
+                                    arrays=lvl.window_arrays)
+    if fused is not None and not config.flux_cripple:
         # fused RK stage: ONE kernel launch per stage covers the whole
         # reference sequence flux -> boundary/wall -> time_step ->
         # invalid check (euler3d:383-512). Spill edges (outside the span
@@ -582,7 +596,7 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
                     jnp.concatenate([val, -val], axis=1),
                     jnp.concatenate([sa, sb]), q.shape[1])
             fac = sf / float(RK + 1 - j)
-            q, inv = lvl.pallas_fused(q, old, fac, spill)
+            q, inv = fused(q, old, fac, spill)
             invalid = invalid + inv
             if config.include_indirect_rw:
                 rw = t_indirect_rw(lvl, q, config)

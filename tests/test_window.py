@@ -211,3 +211,43 @@ def test_native_packer_bit_identical():
         np.testing.assert_array_equal(getattr(p1, f), getattr(p2, f))
     assert p1.num_half_edges == p2.num_half_edges
     assert p1.num_spilled_edges == p2.num_spilled_edges
+
+
+def test_window_fused_stage_matches_unfused():
+    """The fused windowed RK stage (flux + boundary/wall + time_step +
+    invalid count in one launch) must reproduce the separate-kernel
+    window pipeline exactly on an unstructured tet hierarchy."""
+    import numpy as np
+    from mgcfd_tpu.core.config import SolverConfig
+    from mgcfd_tpu.mesh.unstructured import generate_unstructured_hierarchy
+    from mgcfd_tpu.solver import MGCFDSolver
+    mesh = generate_unstructured_hierarchy(9, 8, 8, 2, seed=3)
+    a = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="window",
+                                       fuse_stage=False))
+    a.run(cycles=3)
+    b = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="window",
+                                       fuse_stage=True))
+    assert b.dmesh.levels[0].window_fused is not None
+    b.run(cycles=3)
+    np.testing.assert_allclose(b.variables(0), a.variables(0),
+                               rtol=1e-12, atol=1e-16)
+    np.testing.assert_allclose(b.rms_history, a.rms_history, rtol=1e-10)
+
+
+def test_window_fused_nan_guard_trips():
+    """validation.cpp:107-138 semantics through the fused window
+    kernel's in-kernel counter."""
+    import numpy as np
+    import pytest
+    from mgcfd_tpu.core.config import SolverConfig
+    from mgcfd_tpu.mesh import generate_multigrid_box
+    from mgcfd_tpu.solver import MGCFDSolver
+    mesh = generate_multigrid_box(8, 6, 6, 2, h=(0.1, 0.1, 0.1))
+    s = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="window"))
+    v = s.state["variables"][0]
+    s.state["variables"][0] = v.at[0, 3].set(-5.0)
+    with pytest.raises(FloatingPointError):
+        s.run(cycles=1)
