@@ -56,6 +56,12 @@ class SolverConfig:
     fuse_stage: bool = True           # accumulate='pallas': run the whole RK
     # stage (flux + boundary/wall + time_step + NaN count) as ONE kernel
     # launch; False falls back to the separate-kernel pipeline
+    fuse_window_stage: bool = False   # same fusion for accumulate='window'
+    # (PallasWindowFusedStage). Default OFF: measured 19.7 vs 17.6
+    # ms/cycle on the tet flagship — deep-layer window plans already
+    # stream ~5 MB of plan blocks per grid step and the extra fused
+    # operands push VMEM over the whole-X residency cliff. Capability
+    # retained (tested) for shallow-plan meshes.
     transposed: bool = False          # (NVAR, N) state layout inside the RK
     # loop (lane-major; needs accumulate='shift')
     mg_gather: bool = True            # gather-transpose restrict/prolong

@@ -153,7 +153,7 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 l.num_nodes, l.bedge_b, l.bedge_w, l.wedge_b, l.wedge_w,
                 far_field_state(np.float64)[1])
             dense_bw_t = (put(bdn), put(wln), put(wlc))
-            if (config.fuse_stage
+            if (config.fuse_window_stage
                     and window_flux.padded == window_flux.padded_in):
                 from ..pallas.flux_window import PallasWindowFusedStage
                 window_fused = PallasWindowFusedStage(

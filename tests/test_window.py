@@ -228,7 +228,7 @@ def test_window_fused_stage_matches_unfused():
     a.run(cycles=3)
     b = MGCFDSolver(mesh, SolverConfig(dtype="float64",
                                        accumulate="window",
-                                       fuse_stage=True))
+                                       fuse_window_stage=True))
     assert b.dmesh.levels[0].window_fused is not None
     b.run(cycles=3)
     np.testing.assert_allclose(b.variables(0), a.variables(0),
@@ -246,7 +246,8 @@ def test_window_fused_nan_guard_trips():
     from mgcfd_tpu.solver import MGCFDSolver
     mesh = generate_multigrid_box(8, 6, 6, 2, h=(0.1, 0.1, 0.1))
     s = MGCFDSolver(mesh, SolverConfig(dtype="float64",
-                                       accumulate="window"))
+                                       accumulate="window",
+                                       fuse_window_stage=True))
     v = s.state["variables"][0]
     s.state["variables"][0] = v.at[0, 3].set(-5.0)
     with pytest.raises(FloatingPointError):
