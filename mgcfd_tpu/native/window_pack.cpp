@@ -41,11 +41,15 @@ int64_t mgcfd_pack_halfedges(
     const int64_t WIN = 1024;
     std::vector<uint64_t> slot_mask(n_win * WIN, 0);  // key: owner node
     std::vector<uint64_t> cell_mask(n_win * WIN, 0);  // key: (w,grow,olane)
+    std::vector<uint64_t> pos_mask(n_win * WIN, 0);   // key: (w,grow,glane)
     std::vector<uint64_t> winset_mask(n_win * kw, 0); // layers sourcing lw
     std::vector<int32_t> winslot(n_win * l_cap * kw, -1);
     std::vector<uint64_t> spare_mask(n_win, 0);       // |source set| < S
     std::unordered_map<uint64_t, uint64_t> val_mask;  // exact-value reuse
     val_mask.reserve(static_cast<size_t>(H));
+    // layers where table position pk is already bound to THIS window
+    std::unordered_map<uint64_t, uint64_t> pos_lw_mask;
+    pos_lw_mask.reserve(static_cast<size_t>(H));
 
     int64_t placed = 0;
     for (int64_t i = 0; i < H; ++i) {
@@ -56,9 +60,12 @@ int64_t mgcfd_pack_halfedges(
         const int64_t lwv = lwv_arr[h];
         const int64_t sk = wv * WIN + o_row[h] * 128 + o_lane[h];
         const int64_t ck = wv * WIN + g_row[h] * 128 + o_lane[h];
+        const int64_t pk = wv * WIN + g_row[h] * 128 + g_lane[h];
         const uint64_t vk = (static_cast<uint64_t>(ck) << 14)
                             | (static_cast<uint64_t>(lwv) << 7)
                             | static_cast<uint64_t>(g_lane[h]);
+        const uint64_t plk = (static_cast<uint64_t>(pk) << 7)
+                             | static_cast<uint64_t>(lwv);
         const int64_t wk = wv * kw + lwv;
         const uint64_t have_win = winset_mask[wk];
         const uint64_t free_m = ~slot_mask[sk]
@@ -66,7 +73,11 @@ int64_t mgcfd_pack_halfedges(
         uint64_t vm = 0;
         auto it = val_mask.find(vk);
         if (it != val_mask.end()) vm = it->second;
-        const uint64_t cand = free_m & (~cell_mask[ck] | vm);
+        uint64_t plm = 0;
+        auto it2 = pos_lw_mask.find(plk);
+        if (it2 != pos_lw_mask.end()) plm = it2->second;
+        uint64_t cand = free_m & (~cell_mask[ck] | vm);
+        cand &= ~pos_mask[pk] | plm;
         int64_t layer;
         if (cand) {
             layer = __builtin_ctzll(cand);
@@ -93,7 +104,9 @@ int64_t mgcfd_pack_halfedges(
         }
         slot_mask[sk] |= bit;
         cell_mask[ck] |= bit;
+        pos_mask[pk] |= bit;
         val_mask[vk] = vm | bit;
+        pos_lw_mask[plk] = plm | bit;
         placement[h] = static_cast<int32_t>(layer);
         place_src[h] = src;
         ++placed;

@@ -4,11 +4,20 @@ Companion to prep/window.py (see its docstring for the plan geometry).
 Per grid step = one owner window of 1024 nodes:
 
   for each layer l of the window:
-    for s in S candidate source windows:        (streamed 2-bit select)
-      t1_s[r', lane] = x[lws[s]][r', col_idx[r', lane]]   axis=1 gather
-    t1 = select(wsel, t1_0..t1_3)               per-CELL window choice
+    T = select(wsel, x[lws[0]] .. x[lws[S-1]])  per-POSITION window
+                                                choice: S-1 elementwise
+                                                selects, NO gathers
+    t1[r', lane] = T[r', col_idx[r', lane]]     axis=1 gather
     qn = t1[row_sel[slot], lane]                axis=0 gather
     acc += edge_flux(q_own, qn, w_layer)        dense, owner-aligned
+
+Selecting the composite table BEFORE the gathers costs 2 gathers +
+(S-1) selects per channel per layer (the earlier cell-keyed scheme
+gathered from every source: S+1 gathers). dynamic_gather issue
+dominates this kernel while vector selects are near-free, and the
+looser position-keyed packing constraint lets S=8, dropping layer
+counts ~1.2x on tet meshes — measured ~1.3x together
+(.golden/window_body_bench.py).
 
 Both gathers are single-vreg `tpu.dynamic_gather`s — the only TPU
 primitive that does per-lane dynamic addressing at vector speed (XLA's
@@ -117,14 +126,14 @@ def _window_kernel(S, l_max, nch, math, nw, local_x,
         sel = wsel_ref[0, l]
         ci = ci_ref[0, l]
         rs = rs_ref[0, l]
+        masks = [sel == s for s in range(1, S)]
         qn = []
         for ch in range(nch):
-            t1 = _take_i32(
-                up(x_ref[off + lwins_ref[0, l, 0], ch]), ci, axis=1)
+            t = up(x_ref[off + lwins_ref[0, l, 0], ch])
             for s in range(1, S):
-                t1s = _take_i32(
-                    up(x_ref[off + lwins_ref[0, l, s], ch]), ci, axis=1)
-                t1 = jnp.where(sel == s, t1s, t1)
+                t = jnp.where(masks[s - 1],
+                              up(x_ref[off + lwins_ref[0, l, s], ch]), t)
+            t1 = _take_i32(t, ci, axis=1)
             qn.append(_take_i32(t1, rs, axis=0))
         vals = math(qo, qn, [up(w_ref[0, l, k]) for k in range(nw)])
         return tuple(a + v for a, v in zip(acc, vals))
@@ -200,14 +209,14 @@ def _window_fused_kernel(S, l_max, nch, nw, local_x, have_spill, refs):
         sel = wsel_ref[0, l]
         ci = ci_ref[0, l]
         rs = rs_ref[0, l]
+        masks = [sel == s for s in range(1, S)]
         qn = []
         for ch in range(nch):
-            t1 = _take_i32(
-                up(x_ref[off + lwins_ref[0, l, 0], ch]), ci, axis=1)
+            t = up(x_ref[off + lwins_ref[0, l, 0], ch])
             for s in range(1, S):
-                t1s = _take_i32(
-                    up(x_ref[off + lwins_ref[0, l, s], ch]), ci, axis=1)
-                t1 = jnp.where(sel == s, t1s, t1)
+                t = jnp.where(masks[s - 1],
+                              up(x_ref[off + lwins_ref[0, l, s], ch]), t)
+            t1 = _take_i32(t, ci, axis=1)
             qn.append(_take_i32(t1, rs, axis=0))
         ws = [up(w_ref[0, l, k]) for k in range(nw)]
         vals = _flux_math(qo, qn, ws[0], ws[1], ws[2], ws[3])

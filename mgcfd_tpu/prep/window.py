@@ -21,6 +21,17 @@ bipartite edge-coloring constraint, satisfied at preprocessing by a
 greedy first-fit over per-column bitmasks (Konig: Δ colors suffice for
 bipartite, greedy stays near that).
 
+The layer's gather TABLE is composed from S source windows by PER-
+POSITION selection (wsel keyed by table position (g_row, g_lane)):
+the composite is built with S-1 elementwise selects, then the two
+chained gathers run ONCE per channel — 2 gathers + (S-1) selects per
+channel per layer. The earlier cell-keyed scheme selected AFTER the
+first gather (S+1 gathers/channel/layer); selects are near-free on
+the VPU while dynamic_gather issue dominates this kernel, and the
+looser position constraint lets S rise to 8, cutting packed layers
+~1.2x on tet meshes (32.7 -> ~26 layers/window measured) — together
+a measured ~1.3x on the kernel body (.golden/window_body_bench.py).
+
 Node j maps to window j//1024, row j%8, lane (j//8)%128 (interleaved:
 small RCM deltas spread over rows, balancing the coloring).
 
@@ -31,11 +42,14 @@ Plan layout (one owner window = 1024 consecutive RCM node ids):
   - a LAYER of an owner window is an (8,128) slot grid ALIGNED to the
     owner nodes (slot (r,l) accumulates to owner node l*8+r): the
     accumulation is a dense add, no scatter of any kind;
-  - a layer's gather TABLE is assembled from up to S=4 neighbor windows,
-    chosen PER CELL by a streamed 2-bit mask (select chain over the S
-    window tiles). Binding a layer to a single window fragments the
-    packing on RCM band tails (measured lower bounds 27-65 layers/window
-    vs ~10 halves/1024); per-cell selection collapses that;
+  - a layer's gather TABLE is assembled from up to S=8 neighbor windows,
+    chosen PER TABLE POSITION by a streamed 3-bit mask (select chain
+    over the S window tiles, applied BEFORE the gathers). Binding a
+    layer to a single window fragments the packing on RCM band tails
+    (measured lower bounds 27-65 layers/window vs ~10 halves/1024);
+    multi-source selection collapses that, and the per-layer <=S window
+    budget is the binding packing constraint (measured: S=4 -> 32.7
+    layers/window on the tet flagship, S=8 -> ~26);
   - zero-weight slots are inert (factor and central term both vanish).
 
 Half-edges whose neighbor lies outside the kw-window neighborhood, or
@@ -63,7 +77,8 @@ class WindowPlan:
     own_local: np.ndarray     # (n_win,) i32: owner's offset in [0, kw)
     layer_count: np.ndarray   # (n_win,) i32: live layers per window
     layer_wins: np.ndarray    # (n_win, l_max, S) i32: local window offsets
-    wsel: np.ndarray          # (n_win, l_max, 8, 128) i32: cell's source
+    wsel: np.ndarray          # (n_win, l_max, 8, 128) i32: source slot
+                              #   per table POSITION (g_row, g_lane)
     col_idx: np.ndarray       # (n_win, l_max, 8, 128) i32
     row_sel: np.ndarray       # (n_win, l_max, 8, 128) i32
     w4: np.ndarray            # (n_win, l_max, 4, 8, 128) f64: w, |w|
@@ -101,7 +116,8 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
                         kw: int | None = None,
                         l_cap: int = 64,
                         num_nbr_nodes: int | None = None,
-                        anchor: np.ndarray | None = None):
+                        anchor: np.ndarray | None = None,
+                        n_src: int = 8):
     """Pack arbitrary half-edges (owner, nbr, K weight columns) into the
     windowed-gather layer structure. This serves the flux kernel (K=4:
     signed normal + |w|, pair_id = edge id so spilling one half spills
@@ -182,13 +198,15 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
 
     # Greedy first-fit with O(1) per half-edge: per-key LAYER BITMASKS
     # (l_cap <= 64 -> one python int per key). A layer may source up to
-    # S windows (per-cell 2-bit select); candidates = layers where the
-    # owner slot is free AND (the cell is free or holds exactly this
-    # neighbor) AND (the nbr window is already in the layer's source set
-    # or the set has room); take the lowest set bit, else open a layer.
+    # S windows (per-POSITION 3-bit select applied before the gathers);
+    # candidates = layers where the owner slot is free AND (the cell is
+    # free or holds exactly this neighbor) AND (the table position
+    # (g_row, g_lane) is unbound or bound to this source window) AND
+    # (the nbr window is already in the layer's source set or the set
+    # has room); take the lowest set bit, else open a layer.
     assert l_cap <= 64
     assert kw <= 128  # val_mask packs the window offset into 7 bits
-    S = 4
+    S = n_src
     layer_count = np.zeros(n_win, np.int32)
     layer_wins = np.zeros((n_win, l_cap, S), np.int32)
     nsrc_used = np.zeros((n_win, l_cap), np.int32)
@@ -199,6 +217,8 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
 
     slot_mask = [0] * (n_win * WIN)      # key: owner node
     cell_mask = [0] * (n_win * WIN)      # key: (win, g_row, o_lane)
+    pos_mask = [0] * (n_win * WIN)       # key: (win, g_row, g_lane)
+    pos_lw_mask: dict = {}               # (pos, lw) -> layers bound so
     winset_mask: dict = {}               # (wv, lw) -> layers sourcing lw
     winslot: dict = {}                   # (wv, layer, lw) -> source slot
     spare_mask = [0] * n_win             # layers with |source set| < S
@@ -256,13 +276,17 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
             continue
         wv = ow_l[h]; lwv = lw_l[h]
         orv = orow_l[h]; olv = olane_l[h]; grv = grow_l[h]
+        glv = glane_l[h]
         sk = wv * WIN + orv * 128 + olv
         ck = wv * WIN + grv * 128 + olv
-        vk = (ck << 14) | (lwv << 7) | glane_l[h]
+        pk = wv * WIN + grv * 128 + glv
+        vk = (ck << 14) | (lwv << 7) | glv
+        plk = (pk << 7) | lwv
         wk = wv * kw + lwv
         have_win = winset_mask.get(wk, 0)
         free = ~slot_mask[sk] & (have_win | spare_mask[wv])
         cand = free & (~cell_mask[ck] | val_mask.get(vk, 0))
+        cand &= ~pos_mask[pk] | pos_lw_mask.get(plk, 0)
         if cand:
             layer = (cand & -cand).bit_length() - 1
         else:
@@ -285,7 +309,9 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
                 spare_mask[wv] &= ~bit
         slot_mask[sk] |= bit
         cell_mask[ck] |= bit
+        pos_mask[pk] |= bit
         val_mask[vk] = val_mask.get(vk, 0) | bit
+        pos_lw_mask[plk] = pos_lw_mask.get(plk, 0) | bit
         placement[h] = layer
         place_src[h] = src
 
@@ -314,7 +340,7 @@ def _finish_plan(ns):
     lay = placement[hp]
     # vectorized fills (placement layers are conflict-free by the masks)
     col_idx[ow[hp], lay, g_row[hp], o_lane[hp]] = g_lane[hp]
-    wsel[ow[hp], lay, g_row[hp], o_lane[hp]] = place_src[hp]
+    wsel[ow[hp], lay, g_row[hp], g_lane[hp]] = place_src[hp]
     row_sel[ow[hp], lay, o_row[hp], o_lane[hp]] = g_row[hp]
     for k in range(K):
         w4[ow[hp], lay, k, o_row[hp], o_lane[hp]] = wcols[hp, k]
@@ -389,7 +415,7 @@ def reconstruct_half_edges(plan: WindowPlan):
             for r, l in zip(orr, oll):
                 gr = plan.row_sel[wv, layer, r, l]
                 gl = plan.col_idx[wv, layer, gr, l]
-                src = plan.wsel[wv, layer, gr, l]
+                src = plan.wsel[wv, layer, gr, gl]
                 gwin = plan.base_win[wv] + plan.layer_wins[wv, layer, src]
                 owner = wv * WIN + l * 8 + r
                 nbrn = gwin * WIN + gl * 8 + gr
@@ -471,7 +497,8 @@ _PLAN_SCALARS = ["n_win", "kw", "l_max", "n_src", "num_half_edges",
 
 # bump when the packer's layout/heuristics change: the content key
 # includes it so stale cached plans are rebuilt, not silently reused
-PLAN_FORMAT_VERSION = 3
+# (v4: position-keyed source selection, S=8)
+PLAN_FORMAT_VERSION = 4
 
 
 def _content_key(arrays) -> str:

@@ -62,7 +62,7 @@ def test_plan_constraints(plan):
                 seen = {}
                 for r, gr in zip(rows, rsel):
                     gl = plan.col_idx[wv, layer, gr, lane]
-                    sv = plan.wsel[wv, layer, gr, lane]
+                    sv = plan.wsel[wv, layer, gr, gl]
                     key = int(gr)
                     val = (int(gl), int(sv))
                     if key in seen:
