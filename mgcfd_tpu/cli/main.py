@@ -343,15 +343,18 @@ def main(argv=None) -> int:
         from ..ops import (internal_edge_flux, boundary_edge_flux,
                            wall_edge_flux)
         from ..validate.golden import dump_edge_fluxes
-        if hasattr(solver, "dmesh"):
+        if (hasattr(solver, "dmesh")
+                and getattr(solver.dmesh, "node_orders", None) is None):
             lvl = solver.dmesh.levels[0]
             ea, eb, ew = lvl.edge_a, lvl.edge_b, lvl.edge_w
             bb, bw_, wb, ww = (lvl.bedge_b, lvl.bedge_w, lvl.wedge_b,
                                lvl.wedge_w)
         else:
-            # sharded solvers hold per-shard streams; recondition the
-            # level-0 edge weights from the mesh (same path the solver
-            # applied at partition time)
+            # sharded solvers hold per-shard streams, and the tile-
+            # interleaved window solver holds internal-order indices
+            # while variables() returns the caller's order — both
+            # recondition the level-0 edge weights from the mesh (same
+            # path the solver applied at partition time)
             import dataclasses as _dc
             from ..mesh.build import apply_ewt_conditioning
             l0 = _dc.replace(mesh.levels[0])

@@ -64,6 +64,13 @@ class SolverConfig:
     # retained (tested) for shallow-plan meshes.
     transposed: bool = False          # (NVAR, N) state layout inside the RK
     # loop (lane-major; needs accumulate='shift')
+    window_tile_order: bool = True    # accumulate='window': run on an
+    # INTERNAL tile-interleaved node order (prep/renumber.
+    # tile_interleave_levels) so window-kernel operands/results are pure
+    # reshapes of the state — removes ~1.9 ms/cycle of XLA relayout on
+    # the tet flagship. External I/O (variables(), checkpoints, dumps)
+    # is translated back; set False to run kernels directly in the
+    # caller's node order (the pre-round-3 behavior).
     mg_gather: bool = True            # gather-transpose restrict/prolong
     # (TPU-fast; False falls back to the scatter formulation)
     plan_cache_dir: str = ""          # content-addressed npz cache for

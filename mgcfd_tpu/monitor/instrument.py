@@ -352,11 +352,15 @@ class InstrumentedSolver:
         return self.stats
 
     def variables(self, level: int = 0) -> np.ndarray:
-        """Real-width node-major view (dumps / validation) — same
-        accessor API as MGCFDSolver.variables."""
+        """Real-width node-major view (dumps / validation) in the
+        caller's node order — same accessor API as
+        MGCFDSolver.variables."""
         v = self.state_vars[level]
         n = self.dmesh.levels[level].num_nodes
-        return np.asarray(v[:, :n].T if self.tstate else v)
+        v = np.asarray(v[:, :n].T if self.tstate else v)
+        if self.dmesh.node_orders is not None:
+            v = v[np.argsort(self.dmesh.node_orders[level])]
+        return v
 
     def write_reports(self, prefix: str = "", include_costs: bool = True):
         from .csvout import (CsvIdentification, write_times_csv,

@@ -99,17 +99,21 @@ _MATH = {"flux": (8, lambda qo, qn, w: _flux_math(qo, qn, w[0], w[1],
          "wsum": (5, _wsum_math)}
 
 
-def _window_kernel(S, l_max, nch, math, nw, local_x,
+def _window_kernel(S, l_max, nch, math, nw, local_x, linear,
                    base_ref, nl_ref, own_ref,  # scalar prefetch
                    x_ref,                      # (kw|n_win_src, nch, 8, 128)
+                                               #  linear: (nch, ·, 8, 128)
                    lwins_ref,                  # (1, l_max, S) i32
                    wsel_ref, ci_ref, rs_ref,   # (1, l_max, 8, 128) i32
                    w_ref,                      # (1, l_max, K, 8, 128)
                    o_ref):                     # (1, 5, 8, 128)
+                                               #  linear: (5, 1, 8, 128)
     # With local_x, x_ref is the kw-wide NEIGHBORHOOD block
     # (element-granular start base_ref[w] via pl.Element) and the
     # plan's local window offsets index it directly; otherwise x_ref is
-    # the whole state and the base is added in-kernel.
+    # the whole state and the base is added in-kernel. With linear
+    # (plan.linear_layout), x/o are channel-major pure reshapes of the
+    # (·, P) state — no relayout exists anywhere on the path.
     w = pl.program_id(0)
     off = 0 if local_x else base_ref[w]
     # bf16 = storage format only: gathers and VPU math run on f32 VMEM
@@ -120,7 +124,10 @@ def _window_kernel(S, l_max, nch, math, nw, local_x,
     def up(x):
         return x.astype(jnp.float32) if bf16 else x
 
-    qo = [up(x_ref[off + own_ref[w], ch]) for ch in range(nch)]
+    def xw(win, ch):
+        return x_ref[ch, off + win] if linear else x_ref[off + win, ch]
+
+    qo = [up(xw(own_ref[w], ch)) for ch in range(nch)]
 
     def body(l, acc):
         sel = wsel_ref[0, l]
@@ -129,10 +136,10 @@ def _window_kernel(S, l_max, nch, math, nw, local_x,
         masks = [sel == s for s in range(1, S)]
         qn = []
         for ch in range(nch):
-            t = up(x_ref[off + lwins_ref[0, l, 0], ch])
+            t = up(xw(lwins_ref[0, l, 0], ch))
             for s in range(1, S):
                 t = jnp.where(masks[s - 1],
-                              up(x_ref[off + lwins_ref[0, l, s], ch]), t)
+                              up(xw(lwins_ref[0, l, s], ch)), t)
             t1 = _take_i32(t, ci, axis=1)
             qn.append(_take_i32(t1, rs, axis=0))
         vals = math(qo, qn, [up(w_ref[0, l, k]) for k in range(nw)])
@@ -142,7 +149,10 @@ def _window_kernel(S, l_max, nch, math, nw, local_x,
                      jnp.float32 if bf16 else o_ref.dtype)
     acc = jax.lax.fori_loop(0, nl_ref[w], body, (zero,) * 5)
     for v in range(5):
-        o_ref[0, v] = acc[v].astype(o_ref.dtype)
+        if linear:
+            o_ref[v, 0] = acc[v].astype(o_ref.dtype)
+        else:
+            o_ref[0, v] = acc[v].astype(o_ref.dtype)
 
 
 
@@ -180,7 +190,8 @@ def _bw_flux_ch(qo, nc):
     )
 
 
-def _window_fused_kernel(S, l_max, nch, nw, local_x, have_spill, refs):
+def _window_fused_kernel(S, l_max, nch, nw, local_x, linear, have_spill,
+                         refs):
     """One RK stage on one owner window: windowed flux + dense
     boundary/wall + time_step + invalid count in a single launch (the
     windowed twin of flux_shift._fused_kernel; reference stage sequence
@@ -203,7 +214,13 @@ def _window_fused_kernel(S, l_max, nch, nw, local_x, have_spill, refs):
     def up(x):
         return x.astype(jnp.float32) if bf16 else x
 
-    qo = [up(x_ref[off + own_ref[w], ch]) for ch in range(nch)]
+    def xw(win, ch):
+        return x_ref[ch, off + win] if linear else x_ref[off + win, ch]
+
+    def tile(ref, k):
+        return ref[k, 0] if linear else ref[0, k]
+
+    qo = [up(xw(own_ref[w], ch)) for ch in range(nch)]
 
     def body(l, acc):
         sel = wsel_ref[0, l]
@@ -212,10 +229,10 @@ def _window_fused_kernel(S, l_max, nch, nw, local_x, have_spill, refs):
         masks = [sel == s for s in range(1, S)]
         qn = []
         for ch in range(nch):
-            t = up(x_ref[off + lwins_ref[0, l, 0], ch])
+            t = up(xw(lwins_ref[0, l, 0], ch))
             for s in range(1, S):
                 t = jnp.where(masks[s - 1],
-                              up(x_ref[off + lwins_ref[0, l, s], ch]), t)
+                              up(xw(lwins_ref[0, l, s], ch)), t)
             t1 = _take_i32(t, ci, axis=1)
             qn.append(_take_i32(t1, rs, axis=0))
         ws = [up(w_ref[0, l, k]) for k in range(nw)]
@@ -224,15 +241,18 @@ def _window_fused_kernel(S, l_max, nch, nw, local_x, have_spill, refs):
 
     zero = jnp.zeros((8, 128), jnp.float32 if bf16 else o_ref.dtype)
     acc = jax.lax.fori_loop(0, nl_ref[w], body, (zero,) * 5)
-    bw = _bw_flux_ch(qo, [up(nc_ref[0, k]) for k in range(11)])
-    fac = up(fac_ref[0, 0])
+    bw = _bw_flux_ch(qo, [up(tile(nc_ref, k)) for k in range(11)])
+    fac = up(tile(fac_ref, 0))
     bad = jnp.float32(0.0)
     for v in range(5):
         a = acc[v] + bw[v]
         if spill_ref is not None:
-            a = a + up(spill_ref[0, v])
-        qnew = up(old_ref[0, v]) + fac * a
-        o_ref[0, v] = qnew.astype(o_ref.dtype)
+            a = a + up(tile(spill_ref, v))
+        qnew = up(tile(old_ref, v)) + fac * a
+        if linear:
+            o_ref[v, 0] = qnew.astype(o_ref.dtype)
+        else:
+            o_ref[0, v] = qnew.astype(o_ref.dtype)
         # in-kernel invalid count (validation.cpp:107-138); f32 count —
         # under jax_enable_x64 integer reduces route through i64, which
         # Mosaic cannot lower
@@ -271,13 +291,21 @@ class PallasWindowFusedStage:
         nc[0:3, :n] = np.asarray(bd_normal)[:, :n]
         nc[3:6, :n] = np.asarray(wall_normal)[:, :n]
         nc[6:11, :n] = np.asarray(wall_const)[:, :n]
-        # window tile layout: node j -> (win j//1024, row j%8, lane (j//8)%128)
-        self.nc = jnp.asarray(
-            nc.reshape(11, plan.n_win, 128, 8).transpose(1, 0, 3, 2),
-            dtype)
+        # window tile layout: interleave (node j -> win j//1024, row j%8,
+        # lane (j//8)%128) or, on tile-interleaved meshes, the trivial
+        # position-major reshape
+        if plan.linear_layout:
+            self.nc = jnp.asarray(nc.reshape(11, plan.n_win, 8, 128),
+                                  dtype)
+        else:
+            self.nc = jnp.asarray(
+                nc.reshape(11, plan.n_win, 128, 8).transpose(1, 0, 3, 2),
+                dtype)
 
     def _tile(self, a, rows):
         plan = self.base.plan
+        if plan.linear_layout:
+            return a.reshape(rows, plan.n_win, 8, 128)
         return a.reshape(rows, plan.n_win, 128, 8).transpose(1, 0, 3, 2)
 
     def __call__(self, q, old, fac, spill=None, arrays=None):
@@ -287,8 +315,13 @@ class PallasWindowFusedStage:
         assert q.shape[1] == self.padded
         nch, _ = _MATH["flux"]
         nw = plan.w4.shape[2]
+        linear = bool(plan.linear_layout)
         X = base._channels(q)
-        Xw = X.reshape(nch, plan.src_windows, 128, 8).transpose(1, 0, 3, 2)
+        if linear:
+            Xw = X.reshape(nch, plan.src_windows, 8, 128)
+        else:
+            Xw = X.reshape(nch, plan.src_windows, 128, 8).transpose(
+                1, 0, 3, 2)
         old_w = self._tile(old, 5)
         fac_w = self._tile(fac[None], 1)
         have_spill = spill is not None
@@ -297,18 +330,31 @@ class PallasWindowFusedStage:
         S, l_max = plan.n_src, plan.l_max
         whole_x = plan.src_windows * nch * 4096 <= WHOLE_X_LIMIT_BYTES
         kern = functools.partial(_window_fused_kernel, S, l_max, nch,
-                                 nw, not whole_x, have_spill)
+                                 nw, not whole_x, linear, have_spill)
 
         def body(*refs):
             kern(refs)
 
         if whole_x:
             x_spec = pl.BlockSpec(Xw.shape, lambda w, *_: (0, 0, 0, 0))
+        elif linear:
+            x_spec = pl.BlockSpec(
+                (pl.Element(nch), pl.Element(plan.kw), pl.Element(8),
+                 pl.Element(128)),
+                lambda w, base, *_: (0, base[w], 0, 0))
         else:
             x_spec = pl.BlockSpec(
                 (pl.Element(plan.kw), pl.Element(nch), pl.Element(8),
                  pl.Element(128)),
                 lambda w, base, *_: (base[w], 0, 0, 0))
+
+        def tspec(rows):
+            if linear:
+                return pl.BlockSpec((rows, 1, 8, 128),
+                                    lambda w, *_: (0, w, 0, 0))
+            return pl.BlockSpec((1, rows, 8, 128),
+                                lambda w, *_: (w, 0, 0, 0))
+
         in_specs = [
             x_spec,
             pl.BlockSpec((1, l_max, S), lambda w, *_: (w, 0, 0)),
@@ -317,16 +363,15 @@ class PallasWindowFusedStage:
             pl.BlockSpec((1, l_max, 8, 128), lambda w, *_: (w, 0, 0, 0)),
             pl.BlockSpec((1, l_max, nw, 8, 128),
                          lambda w, *_: (w, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 11, 8, 128), lambda w, *_: (w, 0, 0, 0)),
-            pl.BlockSpec((1, 5, 8, 128), lambda w, *_: (w, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 8, 128), lambda w, *_: (w, 0, 0, 0)),
+            tspec(11),
+            tspec(5),
+            tspec(1),
         ]
         args = [arrays["base"], arrays["nl"], arrays["own"], Xw,
                 arrays["lwins"], arrays["wsel"], arrays["ci"],
                 arrays["rs"], arrays["w4"], self.nc, old_w, fac_w]
         if have_spill:
-            in_specs.append(pl.BlockSpec((1, 5, 8, 128),
-                                         lambda w, *_: (w, 0, 0, 0)))
+            in_specs.append(tspec(5))
             args.append(self._tile(spill, 5))
         from jax.experimental.pallas import tpu as pltpu
         out, inv = pl.pallas_call(
@@ -336,19 +381,23 @@ class PallasWindowFusedStage:
                 grid=grid,
                 in_specs=in_specs,
                 out_specs=(
-                    pl.BlockSpec((1, 5, 8, 128),
-                                 lambda w, *_: (w, 0, 0, 0)),
+                    tspec(5),
                     pl.BlockSpec((1, 1), lambda w, *_: (0, 0),
                                  memory_space=pltpu.SMEM),
                 ),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((plan.n_win, 5, 8, 128), q.dtype),
+                jax.ShapeDtypeStruct((5, plan.n_win, 8, 128) if linear
+                                     else (plan.n_win, 5, 8, 128),
+                                     q.dtype),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ),
             interpret=self.interpret,
         )(*args)
-        qnew = out.transpose(1, 0, 3, 2).reshape(5, self.padded)
+        if linear:
+            qnew = out.reshape(5, self.padded)
+        else:
+            qnew = out.transpose(1, 0, 3, 2).reshape(5, self.padded)
         return qnew, inv[0, 0]
 
 
@@ -409,10 +458,16 @@ class PallasWindowFlux:
         assert q.shape[1] == self.padded_in, (q.shape, self.padded_in)
         nch, math = _MATH[self.mode]
         nw = self.plan.w4.shape[2]
+        linear = bool(plan.linear_layout)
         X = self._channels(q)                          # (nch, Pin)
-        # node j -> (win j//1024, row j%8, lane (j//8)%128)
-        Xw = X.reshape(nch, plan.src_windows, 128, 8).transpose(
-            1, 0, 3, 2)
+        if linear:
+            # tile-interleaved mesh: the tile layout IS the memory
+            # layout — operand and result are pure reshapes
+            Xw = X.reshape(nch, plan.src_windows, 8, 128)
+        else:
+            # node j -> (win j//1024, row j%8, lane (j//8)%128)
+            Xw = X.reshape(nch, plan.src_windows, 128, 8).transpose(
+                1, 0, 3, 2)
 
         grid = (plan.n_win,)
         S, l_max = plan.n_src, plan.l_max
@@ -425,14 +480,29 @@ class PallasWindowFlux:
         # so only when needed.
         whole_x = plan.src_windows * nch * 4096 <= WHOLE_X_LIMIT_BYTES
         kernel = functools.partial(_window_kernel, S, l_max, nch, math,
-                                   nw, not whole_x)
+                                   nw, not whole_x, linear)
         if whole_x:
             x_spec = pl.BlockSpec(Xw.shape, lambda w, *_: (0, 0, 0, 0))
+        elif linear:
+            x_spec = pl.BlockSpec(
+                (pl.Element(nch), pl.Element(plan.kw), pl.Element(8),
+                 pl.Element(128)),
+                lambda w, base, *_: (0, base[w], 0, 0))
         else:
             x_spec = pl.BlockSpec(
                 (pl.Element(plan.kw), pl.Element(nch), pl.Element(8),
                  pl.Element(128)),
                 lambda w, base, *_: (base[w], 0, 0, 0))
+        if linear:
+            out_spec = pl.BlockSpec((5, 1, 8, 128),
+                                    lambda w, *_: (0, w, 0, 0))
+            out_shape = jax.ShapeDtypeStruct((5, plan.n_win, 8, 128),
+                                             self.dtype)
+        else:
+            out_spec = pl.BlockSpec((1, 5, 8, 128),
+                                    lambda w, *_: (w, 0, 0, 0))
+            out_shape = jax.ShapeDtypeStruct((plan.n_win, 5, 8, 128),
+                                             self.dtype)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -450,14 +520,13 @@ class PallasWindowFlux:
                     pl.BlockSpec((1, l_max, nw, 8, 128),
                                  lambda w, *_: (w, 0, 0, 0, 0)),
                 ],
-                out_specs=pl.BlockSpec((1, 5, 8, 128),
-                                       lambda w, *_: (w, 0, 0, 0)),
+                out_specs=out_spec,
             ),
-            out_shape=jax.ShapeDtypeStruct((plan.n_win, 5, 8, 128),
-                                           self.dtype),
+            out_shape=out_shape,
             interpret=self.interpret,
         )(arrays["base"], arrays["nl"], arrays["own"], Xw,
           arrays["lwins"], arrays["wsel"], arrays["ci"], arrays["rs"],
           arrays["w4"])
-        # back to (5, P)
+        if linear:
+            return out.reshape(5, P)
         return out.transpose(1, 0, 3, 2).reshape(5, P)

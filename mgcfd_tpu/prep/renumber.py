@@ -144,6 +144,52 @@ def renumber_hierarchy(mesh, method: str = "rcm",
                          problem_size=mesh.problem_size, name=mesh.name)
 
 
+def tile_interleave_order(num_nodes: int) -> np.ndarray:
+    """Window-tile interleave permutation (order[new_id] = old_id).
+
+    The windowed-gather kernel (pallas/flux_window.py) addresses a
+    1024-node window as an (8, 128) vreg tile. The packer's preferred
+    node -> (row, lane) map is the INTERLEAVE (row = j % 8, lane =
+    (j // 8) % 128): after RCM, consecutive nodes spread over all 8
+    rows, balancing the per-(g_row, ·) coloring constraints (the
+    position-major map measured ~4x the layer count). But the state
+    array (5, P) enumerates nodes position-major, so an interleaved
+    PLAN forces a minor-dim (128, 8) -> (8, 128) relayout of every
+    kernel operand and result — measured ~1.9 ms/cycle of XLA
+    concat/reshape/transpose on the tet flagship.
+
+    Composing THIS permutation with the RCM order makes the two maps
+    coincide: node at RCM rank j gets id win*1024 + (j%8)*128 +
+    (j//8)%128, so the builder's position-major ("linear") map
+    reproduces the interleave assignment exactly and kernel operands
+    become pure reshapes. A partial tail window is rank-compacted to
+    keep the permutation within [0, N).
+    """
+    j = np.arange(num_nodes, dtype=np.int64)
+    loc = j & 1023
+    pos = (j & ~np.int64(1023)) | ((loc & 7) << 7) | ((loc >> 3) & 127)
+    return np.argsort(pos, kind="stable")  # order[new] = old
+
+
+def tile_interleave_levels(levels: list) -> tuple[list, list]:
+    """Apply the tile interleave to every level of a hierarchy (list of
+    MeshLevel sharing mg_mapping links), fixing inter-level mappings the
+    same way renumber_hierarchy does. Returns (new_levels, orders) with
+    orders[l][new_id] = old_id — callers translating state back to the
+    external order index with them."""
+    new_levels = []
+    orders = []
+    for l, lvl in enumerate(levels):
+        order = tile_interleave_order(lvl.num_nodes)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.shape[0])
+        new_levels.append(apply_node_order(lvl, order))
+        orders.append(order)
+        if l > 0 and new_levels[l - 1].mg_mapping is not None:
+            new_levels[l - 1].mg_mapping = inv[new_levels[l - 1].mg_mapping]
+    return new_levels, orders
+
+
 def locality_stats(lvl: MeshLevel) -> dict:
     """Mean/max |a-b| index distance over internal edges — the knob RCM
     turns; useful for deciding whether an imported mesh needs it."""

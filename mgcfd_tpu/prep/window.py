@@ -88,6 +88,10 @@ class WindowPlan:
     num_half_edges: int
     num_spilled_edges: int
     n_win_src: int = 0        # neighbor-space windows (0 = same space)
+    linear_layout: int = 0    # 1 = node -> (row j//128%8, lane j%128):
+                              #   kernel operands are pure reshapes of
+                              #   (·, P) arrays (use with meshes permuted
+                              #   by prep.renumber.tile_interleave_*)
 
     @property
     def src_windows(self) -> int:
@@ -117,7 +121,8 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
                         l_cap: int = 64,
                         num_nbr_nodes: int | None = None,
                         anchor: np.ndarray | None = None,
-                        n_src: int = 8):
+                        n_src: int = 8,
+                        node_map: str = "interleave"):
     """Pack arbitrary half-edges (owner, nbr, K weight columns) into the
     windowed-gather layer structure. This serves the flux kernel (K=4:
     signed normal + |w|, pair_id = edge id so spilling one half spills
@@ -183,18 +188,28 @@ def build_halfedge_plan(num_nodes: int, owner: np.ndarray,
     else:
         pair_ok = None
 
-    # within-window node -> (row, lane) mapping is INTERLEAVED
+    # within-window node -> (row, lane) mapping. Default: INTERLEAVED
     # (row = j % 8, lane = (j // 8) % 128): after RCM most neighbors sit
     # at small |delta|, and the interleave spreads them over all 8 rows,
     # keeping the per-(g_row, o_lane) cell demand near-uniform (the
-    # lexicographic j>>7 mapping concentrates small deltas on one row
-    # and blows the layer count ~4x - measured).
+    # position-major j>>7 mapping concentrates small deltas on one row
+    # and blows the layer count ~4x - measured). "linear" uses the
+    # position-major map (row = (j >> 7) & 7, lane = j & 127) so kernel
+    # operands need NO relayout — correct coloring balance then requires
+    # the mesh to be pre-permuted with tile_interleave_* (which makes
+    # this map reproduce the interleave assignment exactly).
     o_local = owner - ow * WIN
-    o_row = (o_local & 7).astype(np.int64)
-    o_lane = ((o_local >> 3) & 127).astype(np.int64)
     g_local = nbr - gw * WIN
-    g_row = (g_local & 7).astype(np.int64)
-    g_lane = ((g_local >> 3) & 127).astype(np.int64)
+    if node_map == "linear":
+        o_row = ((o_local >> 7) & 7).astype(np.int64)
+        o_lane = (o_local & 127).astype(np.int64)
+        g_row = ((g_local >> 7) & 7).astype(np.int64)
+        g_lane = (g_local & 127).astype(np.int64)
+    else:
+        o_row = (o_local & 7).astype(np.int64)
+        o_lane = ((o_local >> 3) & 127).astype(np.int64)
+        g_row = (g_local & 7).astype(np.int64)
+        g_lane = ((g_local >> 3) & 127).astype(np.int64)
 
     # Greedy first-fit with O(1) per half-edge: per-key LAYER BITMASKS
     # (l_cap <= 64 -> one python int per key). A layer may source up to
@@ -348,6 +363,7 @@ def _finish_plan(ns):
     l_max = max(1, int(layer_count.max()))
     plan = WindowPlan(
         n_win=n_win, kw=kw, l_max=l_max, n_src=S,
+        linear_layout=int(ns["node_map"] == "linear"),
         n_win_src=(0 if num_nbr_nodes is None else n_win_src),
         base_win=base_win, own_local=own_local,
         layer_count=layer_count,
@@ -378,7 +394,8 @@ def needed_kw(owner: np.ndarray, nbr: np.ndarray, anchor: np.ndarray,
 
 
 def build_window_plan(lvl: MeshLevel, kw: int | None = None,
-                      l_cap: int = 64) -> WindowPlan:
+                      l_cap: int = 64,
+                      node_map: str = "interleave") -> WindowPlan:
     """Flux plan: both halves of every internal edge (owner a with +w,
     owner b with -w, plus |w|), pair-spilled so a spilled edge leaves
     both accumulations to the segment path."""
@@ -393,7 +410,8 @@ def build_window_plan(lvl: MeshLevel, kw: int | None = None,
     wcols = np.concatenate([sign[:, None] * lvl.edge_w[eid],
                             ewt[eid][:, None]], axis=1)
     plan, ok = build_halfedge_plan(lvl.num_nodes, owner, nbr, wcols,
-                                   pair_id=eid, kw=kw, l_cap=l_cap)
+                                   pair_id=eid, kw=kw, l_cap=l_cap,
+                                   node_map=node_map)
     spill = np.ones(E, bool)
     spill[eid[ok]] = False
     plan.spill_a = lvl.edge_a[spill].astype(np.int32)
@@ -406,6 +424,10 @@ def build_window_plan(lvl: MeshLevel, kw: int | None = None,
 def reconstruct_half_edges(plan: WindowPlan):
     """Invert the plan back to (owner, nbr, w3) half-edge lists — the
     correctness oracle for tests. Inert (zero-weight) slots excluded."""
+    if plan.linear_layout:
+        local = lambda r, l: r * 128 + l           # noqa: E731
+    else:
+        local = lambda r, l: l * 8 + r             # noqa: E731
     outs = []
     for wv in range(plan.n_win):
         for layer in range(int(plan.layer_count[wv])):
@@ -417,8 +439,8 @@ def reconstruct_half_edges(plan: WindowPlan):
                 gl = plan.col_idx[wv, layer, gr, l]
                 src = plan.wsel[wv, layer, gr, gl]
                 gwin = plan.base_win[wv] + plan.layer_wins[wv, layer, src]
-                owner = wv * WIN + l * 8 + r
-                nbrn = gwin * WIN + gl * 8 + gr
+                owner = wv * WIN + local(r, l)
+                nbrn = gwin * WIN + local(gr, gl)
                 outs.append((owner, nbrn, w[0, r, l], w[1, r, l],
                              w[2, r, l]))
     return outs
@@ -426,7 +448,8 @@ def reconstruct_half_edges(plan: WindowPlan):
 
 def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
                          l_cap: int = 64,
-                         num_fine_pad: int | None = None) -> dict:
+                         num_fine_pad: int | None = None,
+                         node_map: str = "interleave") -> dict:
     """Windowed prolongation (mg_loops.cpp:678-864 live operator).
 
     With G[n] = rc[mapping[n]] (one lane-gather of the coarse residual),
@@ -470,7 +493,8 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
     np.add.at(wsum, a2, B1)
 
     plan, ok = build_halfedge_plan(num_fine_pad or n, a2, b2,
-                                   B1[:, None], l_cap=l_cap)
+                                   B1[:, None], l_cap=l_cap,
+                                   node_map=node_map)
     sp = ~ok
     return {"plan": plan,
             "dense_local": dense_local, "wsum": wsum,
@@ -492,7 +516,7 @@ _PLAN_FIELDS = ["base_win", "own_local", "layer_count", "layer_wins",
                 "wsel", "col_idx", "row_sel", "w4", "spill_a", "spill_b",
                 "spill_w"]
 _PLAN_SCALARS = ["n_win", "kw", "l_max", "n_src", "num_half_edges",
-                 "num_spilled_edges", "n_win_src"]
+                 "num_spilled_edges", "n_win_src", "linear_layout"]
 
 
 # bump when the packer's layout/heuristics change: the content key
@@ -579,7 +603,8 @@ def _unpack_plan_npz(flat):
 def build_restrict_window(mapping: np.ndarray, num_fine: int,
                           num_coarse: int, l_cap: int = 64,
                           num_fine_pad: int | None = None,
-                          num_coarse_pad: int | None = None) -> dict:
+                          num_coarse_pad: int | None = None,
+                          node_map: str = "interleave") -> dict:
     """Windowed restriction (mg_loops.cpp:30-202 semantics): each coarse
     OWNER gathers its fine children with weight 1/count — the segment
     mean directly, cross-space (num_nbr_nodes = fine). Unmapped coarse
@@ -596,7 +621,8 @@ def build_restrict_window(mapping: np.ndarray, num_fine: int,
     owner = mapping.astype(np.int64)
     nbr = np.arange(num_fine, dtype=np.int64)
     plan, ok = build_halfedge_plan(ncp, owner, nbr, w[:, None],
-                                   l_cap=l_cap, num_nbr_nodes=nfp)
+                                   l_cap=l_cap, num_nbr_nodes=nfp,
+                                   node_map=node_map)
     sp = ~ok
     return {"plan": plan, "mapped": counts > 0,
             "spill_fine": nbr[sp].astype(np.int32),

@@ -81,6 +81,10 @@ class DeviceMesh:
     variant: MeshVariant
     ff_flux: Any                  # (3,5) far-field flux tensor
     ff_q: Any                     # (5,) far-field state
+    node_orders: Any = None       # per-level order[new]=old when the
+    # solver runs on a tile-interleaved internal node order (window
+    # mode; prep/renumber.tile_interleave_levels) — state I/O translates
+    # through it so the external contract keeps the caller's order
 
 
 def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
@@ -98,6 +102,18 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
         l.edge_w = l.edge_w.copy()
         l.bedge_w = l.bedge_w.copy()
         l.wedge_w = l.wedge_w.copy()
+    node_orders = None
+    win_node_map = "interleave"
+    if config.accumulate == "window" and config.window_tile_order:
+        # INTERNAL tile-interleaved node order: the window kernels'
+        # (8, 128) tile layout becomes the memory layout, so every
+        # kernel operand/result is a pure reshape of the (5, P) state —
+        # measured ~1.9 ms/cycle of XLA concat/reshape/transpose on the
+        # tet flagship otherwise. State I/O (variables(), checkpoints,
+        # dumps) translates back to the caller's order via node_orders.
+        from ..prep.renumber import tile_interleave_levels
+        levels, node_orders = tile_interleave_levels(levels)
+        win_node_map = "linear"
     apply_ewt_conditioning(levels, mesh.variant)
 
     def put(x, dt=dtype):
@@ -135,8 +151,9 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
             wplan = cached_plan(
                 config.plan_cache_dir, "flux",
                 (l.edge_a, l.edge_b, l.edge_w,
-                 np.asarray([l.num_nodes])),
-                lambda l=l: build_window_plan(l))
+                 np.asarray([l.num_nodes]),
+                 np.frombuffer(win_node_map.encode(), np.uint8)),
+                lambda l=l: build_window_plan(l, node_map=win_node_map))
             interp = jax.default_backend() == "cpu"
             window_flux = PallasWindowFlux(wplan, l.num_nodes,
                                            dtype=dtype, interpret=interp)
@@ -316,13 +333,16 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 rwb = _cp(config.plan_cache_dir, "restrict",
                           (fine.mg_mapping,
                            np.asarray([fine.num_nodes, coarse.num_nodes,
-                                       fine_pad, coarse_pad])),
+                                       fine_pad, coarse_pad]),
+                           np.frombuffer(win_node_map.encode(),
+                                         np.uint8)),
                           lambda fine=fine, coarse=coarse:
                           build_restrict_window(fine.mg_mapping,
                                                 fine.num_nodes,
                                                 coarse.num_nodes,
                                                 num_fine_pad=fine_pad,
-                                                num_coarse_pad=coarse_pad))
+                                                num_coarse_pad=coarse_pad,
+                                                node_map=win_node_map))
                 rk = _PW(rwb["plan"], coarse.num_nodes, dtype=dtype,
                          interpret=jax.default_backend() == "cpu",
                          mode="wsum")
@@ -351,10 +371,12 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                     config.plan_cache_dir, "prolong",
                     (fine.edge_a, fine.edge_b, fine.coords,
                      coarse.coords, fine.mg_mapping,
-                     np.asarray([fine_pad])),
+                     np.asarray([fine_pad]),
+                     np.frombuffer(win_node_map.encode(), np.uint8)),
                     lambda fine=fine, coarse=coarse:
                     build_prolong_window(fine, coarse,
-                                         num_fine_pad=fine_pad))
+                                         num_fine_pad=fine_pad,
+                                         node_map=win_node_map))
                 interp = jax.default_backend() == "cpu"
                 wk = PallasWindowFlux(pwb["plan"], fine.num_nodes,
                                       dtype=dtype, interpret=interp,
@@ -384,7 +406,8 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
 
     ff_q, ff_flux = far_field_state(np.float64)
     return DeviceMesh(levels=dlevels, variant=mesh.variant,
-                      ff_flux=put(ff_flux), ff_q=put(ff_q))
+                      ff_flux=put(ff_flux), ff_q=put(ff_q),
+                      node_orders=node_orders)
 
 
 # ---------------------------------------------------------------------------
@@ -994,23 +1017,44 @@ class MGCFDSolver:
                 self.state = st
 
     def _state_node_major(self):
-        """Node-major (N, 5) view with lane padding stripped (checkpoints
-        and dumps are always real-width node-major)."""
-        if not self._tstate:
-            return self.state
+        """Node-major (N, 5) view in the CALLER's node order with lane
+        padding stripped (checkpoints and dumps are always real-width
+        node-major external-order)."""
+        orders = self.dmesh.node_orders
         ns = [l.num_nodes for l in self.dmesh.levels]
-        return {k: [a[:, :n].T for a, n in zip(v, ns)]
-                for k, v in self.state.items()}
+        if not self._tstate:
+            if orders is None:
+                return self.state
+            return {k: [np.asarray(a)[np.argsort(o)]
+                        for a, o in zip(v, orders)]
+                    for k, v in self.state.items()}
+        out = {}
+        for k, v in self.state.items():
+            res = []
+            for i, (a, n) in enumerate(zip(v, ns)):
+                t = np.asarray(a[:, :n].T)
+                if orders is not None:
+                    # internal new_id i holds external orders[i]: invert
+                    inv = np.argsort(orders[i])
+                    t = t[inv]
+                res.append(t)
+            out[k] = res
+        return out
 
     def _pad_state_layout(self, st):
-        """Inverse of _state_node_major: transpose to (5, N) and restore
-        the lane padding (far-field tail for variables, zero residuals)."""
+        """Inverse of _state_node_major: permute to the internal node
+        order (if tile-interleaved), transpose to (5, N) and restore the
+        lane padding (far-field tail for variables, zero residuals)."""
         ff = np.asarray(far_field_state(np.float64)[0])
+        orders = self.dmesh.node_orders
         out = {}
         for k, arrs in st.items():
             res = []
-            for a, l in zip(arrs, self.dmesh.levels):
-                t = np.asarray(a).T
+            for i, (a, l) in enumerate(zip(arrs, self.dmesh.levels)):
+                a = np.asarray(a)
+                if orders is not None:
+                    a = a[orders[i]]
+                t = a.T
                 n_lanes = l.num_lanes or l.num_nodes
                 if n_lanes != t.shape[1]:
                     tail = n_lanes - t.shape[1]
@@ -1091,10 +1135,20 @@ class MGCFDSolver:
             f.write(self._cycle.lower(self.state).compile().as_text())
         return [p]
 
+    def _to_external(self, per_node: np.ndarray, level: int) -> np.ndarray:
+        """Translate a per-node array from the internal node order back
+        to the caller's (identity unless tile-interleaved)."""
+        orders = self.dmesh.node_orders
+        if orders is None:
+            return per_node
+        inv = np.argsort(orders[level])
+        return per_node[inv]
+
     def variables(self, level: int = 0) -> np.ndarray:
         v = self.state["variables"][level]
         n = self.dmesh.levels[level].num_nodes
-        return np.asarray(v[:, :n].T if self._tstate else v)
+        v = np.asarray(v[:, :n].T if self._tstate else v)
+        return self._to_external(v, level)
 
     def step_factors(self, level: int = 0) -> np.ndarray:
         lvl = self.dmesh.levels[level]
@@ -1104,5 +1158,7 @@ class MGCFDSolver:
             v = v[:, :n].T
         vol = lvl.volumes[:n]
         if self.dmesh.variant.uses_legacy_step_factor:
-            return np.asarray(compute_step_factor_legacy(v, vol))
-        return np.asarray(compute_step_factor(v, vol))
+            sf = np.asarray(compute_step_factor_legacy(v, vol))
+        else:
+            sf = np.asarray(compute_step_factor(v, vol))
+        return self._to_external(sf, level)

@@ -69,12 +69,22 @@ print("pallas fused smoke ok")
 
 def test_mosaic_window_kernel():
     """Windowed-gather kernel (dynamic_gather path) compiles under
-    Mosaic and agrees with the segment path."""
+    Mosaic and agrees with the segment path — in both node orders:
+    the default tile-interleaved internal order (linear-layout plans,
+    reshape-only I/O) and the caller-order interleave layout."""
     _run(_COMMON + """
 s = MGCFDSolver(mesh, SolverConfig(dtype="float32", accumulate="window"))
 assert not s.dmesh.levels[0].window_flux.interpret
+assert s.dmesh.levels[0].window_flux.plan.linear_layout == 1
 s.run(cycles=2)
 np.testing.assert_allclose(s.variables(0), r.variables(0),
                            rtol=5e-5, atol=1e-7)
-print("window smoke ok")
+print("window linear smoke ok")
+s2 = MGCFDSolver(mesh, SolverConfig(dtype="float32", accumulate="window",
+                                    window_tile_order=False))
+assert s2.dmesh.levels[0].window_flux.plan.linear_layout == 0
+s2.run(cycles=2)
+np.testing.assert_allclose(s2.variables(0), r.variables(0),
+                           rtol=5e-5, atol=1e-7)
+print("window interleave smoke ok")
 """)

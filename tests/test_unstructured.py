@@ -153,8 +153,9 @@ def test_window_mode_with_forced_spill(tet_mesh, monkeypatch):
     rn = renumber_hierarchy(tet_mesh)
     orig = W.build_window_plan
 
-    def tiny_kw(lvl, kw=None, l_cap=64):
-        return orig(lvl, kw=1, l_cap=8)   # heavy spill by construction
+    def tiny_kw(lvl, kw=None, l_cap=64, **kwargs):
+        # heavy spill by construction; forward node_map etc.
+        return orig(lvl, kw=1, l_cap=8, **kwargs)
 
     monkeypatch.setattr(W, "build_window_plan", tiny_kw)
     ref = MGCFDSolver(rn, SolverConfig(dtype="float64",

@@ -252,3 +252,111 @@ def test_window_fused_nan_guard_trips():
     s.state["variables"][0] = v.at[0, 3].set(-5.0)
     with pytest.raises(FloatingPointError):
         s.run(cycles=1)
+
+
+def test_tile_order_equivalence():
+    """window_tile_order=True (internal tile-interleaved node order,
+    linear-layout plans, reshape-only kernel I/O) must reproduce the
+    caller-order solver bitwise at the external interface."""
+    import numpy as np
+    from mgcfd_tpu.core.config import SolverConfig
+    from mgcfd_tpu.mesh.unstructured import generate_unstructured_hierarchy
+    from mgcfd_tpu.prep.renumber import renumber_hierarchy
+    from mgcfd_tpu.solver import MGCFDSolver
+    mesh = renumber_hierarchy(
+        generate_unstructured_hierarchy(9, 8, 8, 2, seed=3))
+    a = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="window",
+                                       window_tile_order=False))
+    a.run(cycles=3)
+    b = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="window",
+                                       window_tile_order=True))
+    assert b.dmesh.node_orders is not None
+    assert b.dmesh.levels[0].window_flux.plan.linear_layout == 1
+    b.run(cycles=3)
+    np.testing.assert_allclose(b.variables(0), a.variables(0),
+                               rtol=1e-12, atol=1e-16)
+    np.testing.assert_allclose(b.variables(1), a.variables(1),
+                               rtol=1e-12, atol=1e-16)
+    np.testing.assert_allclose(b.rms_history, a.rms_history, rtol=1e-10)
+    np.testing.assert_allclose(b.step_factors(0), a.step_factors(0),
+                               rtol=1e-12)
+
+
+def test_tile_order_checkpoint_roundtrip(tmp_path):
+    """Checkpoints stay external-order: save from a tile-interleaved
+    solver, resume into a caller-order solver, identical trajectories."""
+    import numpy as np
+    from mgcfd_tpu.core.config import SolverConfig
+    from mgcfd_tpu.mesh import generate_multigrid_box
+    from mgcfd_tpu.solver import MGCFDSolver
+    mesh = generate_multigrid_box(10, 8, 8, 2, h=(0.1, 0.1, 0.1),
+                                  volume_jitter=0.2)
+    ck = str(tmp_path)
+    a = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="window",
+                                       checkpoint_dir=ck,
+                                       checkpoint_every=2))
+    a.run(cycles=2)
+    b = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       accumulate="window",
+                                       window_tile_order=False,
+                                       checkpoint_dir=ck, resume=True))
+    assert b.completed_cycles == 2
+    a.run(cycles=2)
+    b.run(cycles=2)
+    np.testing.assert_allclose(b.variables(0), a.variables(0),
+                               rtol=1e-12, atol=1e-16)
+
+
+def test_linear_layout_element_blocked_matches_oracle():
+    """linear-layout plan (tile-interleaved ids) in BOTH whole-X and
+    pl.Element-blocked modes == segment-sum oracle (the capacity-point
+    configuration)."""
+    import mgcfd_tpu.pallas.flux_window as FW
+    from mgcfd_tpu.prep.renumber import (rcm_order, apply_node_order,
+                                         tile_interleave_order)
+    lvl = generate_unstructured_mesh(10, 10, 10, seed=7)
+    lvl = apply_node_order(lvl, rcm_order(lvl.num_nodes, lvl.edge_a,
+                                          lvl.edge_b))
+    lvl = apply_node_order(lvl, tile_interleave_order(lvl.num_nodes))
+    plan = build_window_plan(lvl, node_map="linear")
+    assert plan.linear_layout == 1
+    N, P = lvl.num_nodes, plan.padded_nodes
+    rng = np.random.default_rng(2)
+    ffq, _ = far_field_state(np.float64)
+    q = np.tile(ffq[:, None], (1, P))
+    q[:, :N] *= (1 + 0.05 * rng.standard_normal((5, N)))
+    q = jnp.asarray(q)
+
+    val = internal_edge_flux(q[:, lvl.edge_a].T, q[:, lvl.edge_b].T,
+                             jnp.asarray(lvl.edge_w))
+    acc = jax.ops.segment_sum(
+        jnp.concatenate([val, -val]),
+        jnp.concatenate([jnp.asarray(lvl.edge_a),
+                         jnp.asarray(lvl.edge_b)]),
+        num_segments=N)
+    if plan.spill_a.shape[0]:
+        sval = internal_edge_flux(q[:, plan.spill_a].T,
+                                  q[:, plan.spill_b].T,
+                                  jnp.asarray(plan.spill_w))
+        acc = acc - jax.ops.segment_sum(
+            jnp.concatenate([sval, -sval]),
+            jnp.concatenate([jnp.asarray(plan.spill_a),
+                             jnp.asarray(plan.spill_b)]),
+            num_segments=N)
+    ref = np.asarray(acc).T
+
+    got = np.asarray(FW.PallasWindowFlux(plan, N, dtype=q.dtype,
+                                         interpret=True)(q))[:, :N]
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 1e-12
+    old = FW.WHOLE_X_LIMIT_BYTES
+    FW.WHOLE_X_LIMIT_BYTES = 0
+    try:
+        blocked = np.asarray(FW.PallasWindowFlux(
+            plan, N, dtype=q.dtype, interpret=True)(q))[:, :N]
+    finally:
+        FW.WHOLE_X_LIMIT_BYTES = old
+    np.testing.assert_array_equal(got, blocked)
