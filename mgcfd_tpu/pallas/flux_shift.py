@@ -57,66 +57,61 @@ from ..core.constants import GAMMA, SMOOTHING_COEFFICIENT
 VARS = 5  # density, momentum x/y/z, density-energy
 
 
-def _edge_val(qa, qb, ew):
-    """Per-edge flux value, variable-major on (VARS, L) windows; rows
-    0..4 = density, momentum x/y/z, density-energy (same math as
-    ops.tops.t_internal_edge_flux, open-coded for the kernel)."""
-    def prims(q):
-        rho = q[0]
-        mx, my, mz = q[1], q[2], q[3]
-        pe = q[4]
-        inv = 1.0 / rho
-        vx, vy, vz = mx * inv, my * inv, mz * inv
-        ssq = vx * vx + vy * vy + vz * vz
-        p = (GAMMA - 1.0) * (pe - 0.5 * rho * ssq)
-        sos = jnp.sqrt(GAMMA * p * inv)
-        return (vx, vy, vz), jnp.sqrt(ssq), p, sos
+def _stage_channels(win):
+    """(5, L) masked state window -> (8, L) channel stack [rho, mom x/y/z,
+    E, pressure, speed+sos, 1/rho], computed ONCE per block. The per-span
+    flux math then runs on channel slices/rolls with no divisions or
+    square roots of its own — prims used to be recomputed per span per
+    side (xprof measured the fused kernel 6.5x off its HBM roofline,
+    almost all of it Newton div/sqrt chains inside the span loop).
+    An (8, L) array tiles vregs exactly as densely as (5, L) (both round
+    up to 8 sublanes), so the wider roll/slice operands cost nothing."""
+    rho = win[0:1]
+    mom = win[1:4]
+    pe = win[4:5]
+    inv = 1.0 / rho
+    vel = mom * inv
+    ssq = jnp.sum(vel * vel, axis=0, keepdims=True)
+    p = (GAMMA - 1.0) * (pe - 0.5 * rho * ssq)
+    s = jnp.sqrt(ssq) + jnp.sqrt(GAMMA * p * inv)
+    return jnp.concatenate([win, p, s, inv], axis=0)
 
-    (vax, vay, vaz), sa, pa, ca = prims(qa)
-    (vbx, vby, vbz), sb, pb, cb = prims(qb)
-    ex, ey, ez = ew[0], ew[1], ew[2]
-    ewt = jnp.sqrt(ex * ex + ey * ey + ez * ez)
-    factor = (-ewt * (SMOOTHING_COEFFICIENT * 0.5)) * (sa + sb + ca + cb)
-    fx, fy, fz = -0.5 * ex, -0.5 * ey, -0.5 * ez
 
-    # directional flux tensor sums F_a + F_b, contracted with the normal.
-    # F[d, 0] = mom_d ; F[d, 1+k] = vel_k*mom_d + p*delta ; F[d, 4] =
-    # vel_d*(pe + p)
-    def tensor_rows(q, vel, p):
-        mx, my, mz = q[1], q[2], q[3]
-        de_p = q[4] + p
-        vx, vy, vz = vel
-        return (
-            # density row: momentum
-            (mx, my, mz),
-            # momentum-x row over directions d: vx*m_d + p on d==x
-            (vx * mx + p, vx * my, vx * mz),
-            (vy * mx, vy * my + p, vy * mz),
-            (vz * mx, vz * my, vz * mz + p),
-            (vx * de_p, vy * de_p, vz * de_p),
-        )
-
-    ta = tensor_rows(qa, (vax, vay, vaz), pa)
-    tb = tensor_rows(qb, (vbx, vby, vbz), pb)
-
-    rows = []
-    for v in range(5):
-        central = (fx * (ta[v][0] + tb[v][0])
-                   + fy * (ta[v][1] + tb[v][1])
-                   + fz * (ta[v][2] + tb[v][2]))
-        rows.append(factor * (qa[v] - qb[v]) + central)
-    # all rows derive from the same offset-0 aligned windows, so the
-    # stack's operands share a layout (Mosaic rejects mixed offsets)
-    return jnp.stack(rows, axis=0)
+def _edge_val_ch(qa, qb, ew):
+    """Per-edge flux value from (8, L) channel windows; ew rows =
+    [|normal|, wx, wy, wz] (|normal| built once at init). Same channel
+    math as ops.tops.t_internal_edge_flux / flux_window._flux_math, but
+    expressed on sublane GROUPS: the signed-normal block sits at sublane
+    offset 1, exactly matching the momentum rows qa[1:4], so every
+    binary op pairs operands of one sublane offset and the bulk of the
+    arithmetic runs on (5,L)/(3,L) groups. The earlier per-row 1-D
+    formulation paid full 8-sublane vregs per row op — measured ~0.3 ms
+    per flux evaluation on the flagship, vs ~free for this form
+    (.golden/shift_body_bench.py)."""
+    wm = ew[1:4]                          # (3,L), offset 1
+    moma, momb = qa[1:4], qb[1:4]         # (3,L), offset 1
+    pa, pb = qa[5:6], qb[5:6]
+    wmo = jnp.sum(wm * moma, 0, keepdims=True)
+    wmn = jnp.sum(wm * momb, 0, keepdims=True)
+    wvo = wmo * qa[7:8]
+    wvn = wmn * qb[7:8]
+    psum = pa + pb
+    factor = ew[0:1] * (-0.5 * SMOOTHING_COEFFICIENT) * (qa[6:7] + qb[6:7])
+    d5 = qa[:5] - qb[:5]
+    cen123 = wvo * moma + wvn * momb + wm * psum
+    cen0 = wmo + wmn
+    cen4 = wvo * (qa[4:5] + pa) + wvn * (qb[4:5] + pb)
+    central = jnp.concatenate([cen0, cen123, cen4], axis=0)
+    return factor * d5 - 0.5 * central
 
 
 def _edge_val_rw(qa, qb, ew):
     """Faithful indirect_rw twin value: identical operand windows and
-    accumulate pattern to _edge_val, near-zero arithmetic (the
+    accumulate pattern to the flux value, near-zero arithmetic (the
     reference's data-movement-only roofline probe,
-    indirect_rw_kernel.elemfunc.c:42-55)."""
-    e = ew[0] + ew[1] + ew[2]
-    return jnp.stack([qa[v] + qb[v] + e for v in range(5)], axis=0)
+    indirect_rw_kernel.elemfunc.c:42-55). ew rows = [|w|, wx, wy, wz]."""
+    e = ew[1:2] + ew[2:3] + ew[3:4]
+    return qa[:5] + qb[:5] + e
 
 
 def _lane_roll(x, shift, interpret):
@@ -133,6 +128,25 @@ def _lane_roll(x, shift, interpret):
 
 def _ceil128(d: int) -> int:
     return -(-d // 128) * 128
+
+
+def _shifted_window(x, start, L, interpret):
+    """x[:, start:start+L] for an arbitrary static start. Mosaic slices
+    must start at lane multiples, so the misaligned remainder is applied
+    with a lane rotate — but only over an aligned (L+128)-wide LOCAL
+    window when it fits (the original formulation rotated the entire
+    operand per span; on a (8, 3*bn) block window that moved ~3x the
+    lanes actually consumed, and xprof showed the fused kernel still
+    ~4x off its HBM roofline after the prims hoist)."""
+    W = x.shape[-1]
+    r = start % 128
+    if r == 0:
+        return x[:, start:start + L]
+    a0 = start - r
+    if a0 + L + 128 <= W:
+        return _lane_roll(x[:, a0:a0 + L + 128], -r, interpret)[:, :L]
+    # tail-clipped fallback: rotate the whole operand by the remainder
+    return _lane_roll(x, -r, interpret)[:, a0:a0 + L]
 
 
 def _kernel(deltas, bn, num_nodes, interpret, rw, q_prev, q_cur, q_next,
@@ -165,6 +179,7 @@ def _kernel(deltas, bn, num_nodes, interpret, rw, q_prev, q_cur, q_next,
     wwin = jnp.concatenate([w_prev[:], w_cur[:]], axis=2)  # (D,4,2BN)
     if wwin.dtype == jnp.bfloat16:
         wwin = wwin.astype(jnp.float32)
+    src = win if rw else _stage_channels(win)
     acc = jnp.zeros(out_ref.shape, win.dtype)
     for di, d in enumerate(deltas):
         # edges whose a-side sits at window lane p need q[p], q[p+d],
@@ -173,16 +188,16 @@ def _kernel(deltas, bn, num_nodes, interpret, rw, q_prev, q_cur, q_next,
         pad = _ceil128(d)
         s = h - pad
         L = bn + pad
-        qa = win[:, s: s + L]
-        qb = _lane_roll(win, -d, interpret)[:, s: s + L]  # win[p + d]
-        ew = wwin[di, :3, s: s + L]
-        val = (_edge_val_rw if rw else _edge_val)(qa, qb, ew)
+        qa = src[:, s: s + L]
+        qb = _shifted_window(src, s + d, L, interpret)   # src[p + d]
+        ew = wwin[di, :, s: s + L]
+        val = (_edge_val_rw if rw else _edge_val_ch)(qa, qb, ew)
         # a-side: +val at out lane p-h -> val index (p-s) = pad + (p-h)
-        # b-side: -val[p-d-s] at out lane p-h -> rotate val by d, then
-        #         the same aligned [pad, pad+bn) slice (no wrap: indices
-        #         stay >= pad - d >= 0)
+        # b-side: -val[p-d-s] at out lane p-h -> the shifted window
+        #         starting at pad-d (in [0, 128), so the local rotate
+        #         covers it; no wrap: indices stay >= pad - d >= 0)
         acc = (acc + val[:, pad: pad + bn]
-               - _lane_roll(val, d, interpret)[:, pad: pad + bn])
+               - _shifted_window(val, pad - d, bn, interpret))
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
@@ -254,12 +269,18 @@ class PallasShiftFlux:
         self.interpret = interpret
         # weights: (D, 4, padded + 2*bn) with one zero block each side
         # (w lane bn + node; the zero blocks are what make the clamped
-        # state windows contribute nothing at the boundaries), rows
-        # 0..2 = normal components, row 3 spare (sublane padding)
+        # state windows contribute nothing at the boundaries), row 0 =
+        # |normal| precomputed once (removes a sqrt Newton chain per
+        # span per block per call; FLUX_PRECOMPUTE_EDGE_WEIGHTS
+        # semantics, euler3d:354-362), rows 1..3 = normal components —
+        # at sublane offset 1 to match the momentum rows of the channel
+        # stack (see _edge_val_ch)
         D = max(1, len(self.deltas))
         w = np.zeros((D, 4, self.padded + 2 * bn), dtype=dtype)
         for di, (d, wd) in enumerate(zip(self.deltas, weights)):
-            w[di, :3, bn:bn + wd.shape[0]] = np.asarray(wd).T
+            wd = np.asarray(wd)
+            w[di, 0, bn:bn + wd.shape[0]] = np.sqrt((wd * wd).sum(1))
+            w[di, 1:4, bn:bn + wd.shape[0]] = wd.T
         self.w_pad = jnp.asarray(w)
         # tail pad lanes [N, padded) must hold a PHYSICAL state: their
         # weights are zero, but NaNs from sqrt(negative pressure) would
@@ -312,19 +333,18 @@ def pallas_shift_flux(plan, num_nodes, dtype=jnp.float32,
 
 
 def _bw_flux(qc, nc):
-    """Dense aggregated boundary+wall flux on the current block
-    (ops.tops.t_dense_boundary_wall_flux semantics, open-coded):
-    nc rows 0:3 = summed boundary normals, 3:6 = summed wall normals,
-    6:11 = precomputed far-field wall constant."""
-    rho = qc[0]
-    inv = 1.0 / rho
-    vx, vy, vz = qc[1] * inv, qc[2] * inv, qc[3] * inv
-    p = (GAMMA - 1.0) * (qc[4] - 0.5 * rho * (vx * vx + vy * vy
-                                              + vz * vz))
+    """Dense aggregated boundary+wall flux on the current block's
+    (8, bn) channel window (ops.tops.t_dense_boundary_wall_flux
+    semantics, open-coded): nc rows 0:3 = summed boundary normals,
+    3:6 = summed wall normals, 6:11 = precomputed far-field wall
+    constant. Pressure/velocity come from the per-block channel stack
+    (no divisions here)."""
+    mx, my, mz = qc[1], qc[2], qc[3]
+    p, inv = qc[5], qc[7]
+    vx, vy, vz = mx * inv, my * inv, mz * inv
     bx, by, bz = nc[0], nc[1], nc[2]
     hx, hy, hz = 0.5 * nc[3], 0.5 * nc[4], 0.5 * nc[5]
     de_p = qc[4] + p
-    mx, my, mz = qc[1], qc[2], qc[3]
     rows = (
         hx * mx + hy * my + hz * mz,
         bx * p + hx * (vx * mx + p) + hy * (vx * my) + hz * (vx * mz),
@@ -366,20 +386,21 @@ def _fused_kernel(deltas, bn, num_nodes, interpret, have_spill, refs):
     wwin = jnp.concatenate([w_prev[:], w_cur[:]], axis=2)
     if bf16:
         wwin = wwin.astype(f32)
+    ch = _stage_channels(win)
     acc = jnp.zeros(out_ref.shape, win.dtype)
     for di, d in enumerate(deltas):
         pad = _ceil128(d)
         s = h - pad
         L = bn + pad
-        qa = win[:, s: s + L]
-        qb = _lane_roll(win, -d, interpret)[:, s: s + L]
-        ew = wwin[di, :3, s: s + L]
-        val = _edge_val(qa, qb, ew)
+        qa = ch[:, s: s + L]
+        qb = _shifted_window(ch, s + d, L, interpret)
+        ew = wwin[di, :, s: s + L]
+        val = _edge_val_ch(qa, qb, ew)
         acc = (acc + val[:, pad: pad + bn]
-               - _lane_roll(val, d, interpret)[:, pad: pad + bn])
+               - _shifted_window(val, pad - d, bn, interpret))
     # dense boundary/wall on the current block (nc is zero on pad lanes)
     nc = nc_ref[:].astype(f32) if bf16 else nc_ref[:]
-    acc = acc + _bw_flux(win[:, h:2 * h], nc)
+    acc = acc + _bw_flux(ch[:, h:2 * h], nc)
     if spill_ref is not None:
         acc = acc + (spill_ref[:].astype(f32) if bf16 else spill_ref[:])
     old = old_ref[:].astype(f32) if bf16 else old_ref[:]
