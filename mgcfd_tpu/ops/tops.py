@@ -174,15 +174,29 @@ def t_dense_boundary_wall_flux(q, bd_normal, wall_normal, wall_const):
     dominated the profiled cycle. FP differs from face-by-face
     accumulation only by reassociation.
 
+    The W.F contraction is open-coded (same form as the fused kernels'
+    _bw_flux) instead of an einsum over the materialised (3, 5, N) flux
+    tensor: xprof showed the dot_general + tensor build at ~0.4 ms per
+    tet-flagship cycle, all of it HBM traffic for a tensor that never
+    needed to exist.
+
     bd_normal, wall_normal: (3, N); wall_const: (5, N).
     """
     prim = t_primitives(q)
-    f = t_flux_tensor(q, prim)                       # (3, 5, N)
     p = prim["pressure"]
-    zero = jnp.zeros_like(p)[None]
-    bd = jnp.concatenate([zero, bd_normal * p[None], zero], axis=0)
-    wall = 0.5 * jnp.einsum("dn,dvn->vn", wall_normal, f) + wall_const
-    return bd + wall
+    mx, my, mz = q[1], q[2], q[3]
+    vx, vy, vz = prim["vel"]
+    de_p = q[4] + p
+    hx, hy, hz = (0.5 * wall_normal[d] for d in range(3))
+    bx, by, bz = bd_normal[0], bd_normal[1], bd_normal[2]
+    rows = (
+        hx * mx + hy * my + hz * mz,
+        bx * p + hx * (vx * mx + p) + hy * (vx * my) + hz * (vx * mz),
+        by * p + hx * (vy * mx) + hy * (vy * my + p) + hz * (vy * mz),
+        bz * p + hx * (vz * mx) + hy * (vz * my) + hz * (vz * mz + p),
+        hx * (vx * de_p) + hy * (vy * de_p) + hz * (vz * de_p),
+    )
+    return jnp.stack(rows, axis=0) + wall_const
 
 
 def build_dense_boundary_wall(num_nodes, bedge_b, bedge_w, wedge_b,

@@ -449,11 +449,13 @@ def reconstruct_half_edges(plan: WindowPlan):
 def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
                          l_cap: int = 64,
                          num_fine_pad: int | None = None,
-                         node_map: str = "interleave") -> dict:
+                         node_map: str = "interleave",
+                         num_coarse_pad: int | None = None) -> dict:
     """Windowed prolongation (mg_loops.cpp:678-864 live operator).
 
-    With G[n] = rc[mapping[n]] (one lane-gather of the coarse residual),
-    every per-edge term of the reference's interpolation collapses to:
+    With G[n] = rc[mapping[n]] (the parent gather of the coarse
+    residual), every per-edge term of the reference's interpolation
+    collapses to:
 
       into a2:  A1_e * G[a2] + B1_e * G[b2]     (A1 part NODE-LOCAL)
       into b2:  BS_e * G[b2]                    (entirely NODE-LOCAL —
@@ -463,6 +465,13 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
     weighted neighbor sum, served by the windowed-gather kernel in wsum
     mode. A1/BS/weight sums are precomputed per-node dense constants.
     Spilled half-edges (window overflow) go to a small indexed stream.
+
+    When `num_coarse_pad` is given, the parent gather itself also gets a
+    cross-space wsum plan ("pplan": one weight-1.0 half per fine node,
+    neighbors in the coarse space): XLA lowers `rc[:, mapping]` to a
+    minor-axis HLO gather that xprof measured at 35 GB/s / ~0.85 ms per
+    tet-flagship cycle — the windowed kernel's per-lane dynamic_gather
+    does the same mapping at vector speed.
     """
     n = fine.num_nodes
     mapping = fine.mg_mapping
@@ -496,13 +505,24 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
                                    B1[:, None], l_cap=l_cap,
                                    node_map=node_map)
     sp = ~ok
-    return {"plan": plan,
-            "dense_local": dense_local, "wsum": wsum,
-            "coincident": coincident,
-            "parent": mapping.astype(np.int32),
-            "spill_a2": a2[sp].astype(np.int32),
-            "spill_b2": b2[sp].astype(np.int32),
-            "spill_B1": B1[sp]}
+    out = {"plan": plan,
+           "dense_local": dense_local, "wsum": wsum,
+           "coincident": coincident,
+           "parent": mapping.astype(np.int32),
+           "spill_a2": a2[sp].astype(np.int32),
+           "spill_b2": b2[sp].astype(np.int32),
+           "spill_B1": B1[sp]}
+    if num_coarse_pad is not None:
+        owner = np.arange(n, dtype=np.int64)
+        pplan, pok = build_halfedge_plan(
+            num_fine_pad or n, owner, mapping.astype(np.int64),
+            np.ones((n, 1)), l_cap=l_cap,
+            num_nbr_nodes=num_coarse_pad, node_map=node_map)
+        psp = ~pok
+        out.update({"pplan": pplan,
+                    "pspill_fine": owner[psp].astype(np.int32),
+                    "pspill_parent": mapping[psp].astype(np.int32)})
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -521,8 +541,9 @@ _PLAN_SCALARS = ["n_win", "kw", "l_max", "n_src", "num_half_edges",
 
 # bump when the packer's layout/heuristics change: the content key
 # includes it so stale cached plans are rebuilt, not silently reused
-# (v4: position-keyed source selection, S=8)
-PLAN_FORMAT_VERSION = 4
+# (v4: position-keyed source selection, S=8; v5: prolong dict carries
+# the cross-space parent-gather plan)
+PLAN_FORMAT_VERSION = 5
 
 
 def _content_key(arrays) -> str:

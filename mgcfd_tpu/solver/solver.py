@@ -371,12 +371,13 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                     config.plan_cache_dir, "prolong",
                     (fine.edge_a, fine.edge_b, fine.coords,
                      coarse.coords, fine.mg_mapping,
-                     np.asarray([fine_pad]),
+                     np.asarray([fine_pad, coarse_pad]),
                      np.frombuffer(win_node_map.encode(), np.uint8)),
                     lambda fine=fine, coarse=coarse:
                     build_prolong_window(fine, coarse,
                                          num_fine_pad=fine_pad,
-                                         node_map=win_node_map))
+                                         node_map=win_node_map,
+                                         num_coarse_pad=coarse_pad))
                 interp = jax.default_backend() == "cpu"
                 wk = PallasWindowFlux(pwb["plan"], fine.num_nodes,
                                       dtype=dtype, interpret=interp,
@@ -403,6 +404,20 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                     "spill_b2": put(pwb["spill_b2"], jnp.int32),
                     "spill_B1": put(pwb["spill_B1"]),
                 }
+                if "pplan" in pwb:
+                    # parent gather rides the wsum kernel too (the XLA
+                    # minor-axis gather ran at 35 GB/s — xprof)
+                    pk = PallasWindowFlux(pwb["pplan"], fine.num_nodes,
+                                          dtype=dtype, interpret=interp,
+                                          mode="wsum")
+                    dlevels[i].prolong_window.update({
+                        "parent_kernel": pk,
+                        "parent_arrays": pk.arrays,
+                        "pspill_fine": put(pwb["pspill_fine"],
+                                           jnp.int32),
+                        "pspill_parent": put(pwb["pspill_parent"],
+                                             jnp.int32),
+                    })
 
     ff_q, ff_flux = far_field_state(np.float64)
     return DeviceMesh(levels=dlevels, variant=mesh.variant,
@@ -746,7 +761,18 @@ def apply_prolong_padded(fine: DeviceLevel, coarse: DeviceLevel,
     structured = (fine.prolong_shift_tables is not None
                   and "structured" in fine.prolong_shift_tables)
     if tstate and pw is not None and not structured:
-        G = res_c[:, pw["parent"]]                   # (5, P) lane gather
+        pk = pw.get("parent_kernel")
+        if pk is not None:
+            # G = rc[parent] through the cross-space wsum kernel (the
+            # jnp minor-axis gather lowers to a 35 GB/s HLO gather)
+            G = pk(res_c, arrays=pw["parent_arrays"])
+            if pw["pspill_fine"].shape[0]:
+                from ..ops import tops
+                vals = res_c[:, pw["pspill_parent"]]
+                G = G + tops.t_segment_accumulate(vals, pw["pspill_fine"],
+                                                  G.shape[1])
+        else:
+            G = res_c[:, pw["parent"]]               # (5, P) lane gather
         acc = pw["dense_local"][None] * G \
             + pw["kernel"](G, arrays=pw["arrays"])
         sa2 = pw["spill_a2"]

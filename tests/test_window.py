@@ -168,6 +168,37 @@ def test_prolong_plan_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(d1["coincident"], d2["coincident"])
 
 
+def test_parent_gather_plan_exact():
+    """The cross-space parent plan (build_prolong_window num_coarse_pad)
+    must reproduce G = rc[mapping] EXACTLY through the wsum kernel
+    (weight-1.0 halves): the prolong's coincident nodes take G verbatim,
+    so approximate equality is not enough."""
+    from mgcfd_tpu.mesh.unstructured import generate_unstructured_hierarchy
+    from mgcfd_tpu.prep.renumber import renumber_hierarchy
+    from mgcfd_tpu.prep import window as W
+
+    mesh = renumber_hierarchy(
+        generate_unstructured_hierarchy(7, 7, 7, 2, seed=3))
+    fine, coarse = mesh.levels
+    fp = -(-fine.num_nodes // WIN) * WIN
+    cp = -(-coarse.num_nodes // WIN) * WIN
+    d = W.build_prolong_window(fine, coarse, num_fine_pad=fp,
+                               num_coarse_pad=cp)
+    assert "pplan" in d
+    pk = PallasWindowFlux(d["pplan"], fine.num_nodes, dtype=jnp.float64,
+                          interpret=True, mode="wsum")
+    rng = np.random.default_rng(7)
+    rc = jnp.asarray(rng.standard_normal((5, cp)))
+    G = np.asarray(pk(rc))
+    # spilled fine nodes enter via the indexed stream, additively
+    if d["pspill_fine"].shape[0]:
+        np.add.at(G.T, d["pspill_fine"],
+                  np.asarray(rc).T[d["pspill_parent"]])
+    want = np.asarray(rc)[:, fine.mg_mapping]
+    np.testing.assert_array_equal(G[:, :fine.num_nodes], want)
+    assert not np.any(G[:, fine.num_nodes:])
+
+
 def test_element_blocked_path_matches(tet_level, plan, monkeypatch):
     """Force the pl.Element neighborhood-blocked X path (normally only
     taken on multi-million-node meshes) and match the whole-X result."""
