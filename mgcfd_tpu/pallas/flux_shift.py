@@ -209,6 +209,16 @@ def pallas_shift_available() -> bool:
         return False
 
 
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM ceiling above the conservative 16 MB
+    default: capacity-scale meshes (dmax ~17K -> bn 17408) peak ~22 MB
+    of kernel stack, well within the v5e's physical VMEM — without this
+    the 7.26M-edge flagship OOMs at compile ('Scoped allocation with
+    size 21.61M and limit 16.00M')."""
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("deltas", "bn", "num_nodes",
                                     "interpret", "rw"))
@@ -238,6 +248,7 @@ def _call(q_pad, w_pad, deltas, bn, num_nodes, interpret, rw=False):
         out_specs=pl.BlockSpec((rows, bn), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((rows, k * bn), q_pad.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(q_pad, q_pad, q_pad, w_pad, w_pad)
     return out
 
@@ -473,6 +484,7 @@ def _fused_call(q_pad, w_pad, nc, old, fac, spill, deltas, bn, num_nodes,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*args)
     return out, inv[0, 0]
 
