@@ -95,6 +95,43 @@ def body_possel(S, l_max, base_ref, nl_ref, own_ref, x_ref, lwins_ref,
         o_ref[0, v] = acc[v]
 
 
+def body_batched(S, l_max, base_ref, nl_ref, own_ref, x_ref, lwins_ref,
+                 wsel_ref, ci_ref, rs_ref, w_ref, o_ref):
+    """Channel-BATCHED gather stage — NEGATIVE RESULT (kept as record):
+    Mosaic rejects 3-D gathers ("Only 2D gather is supported") and a
+    (NCH*8, 128) axis-0 gather spans vregs ("Not implemented: Multiple
+    source vregs along gather dimension"). dynamic_gather is strictly
+    single-vreg along the gather dim, so the per-channel two-gather
+    formulation is the floor for this kernel."""
+    w = pl.program_id(0)
+    qo = [x_ref[own_ref[w] + base_ref[w] * 0, ch] for ch in range(NCH)]
+
+    def body(l, acc):
+        sel = wsel_ref[0, l]
+        ci = ci_ref[0, l]
+        rs = rs_ref[0, l]
+        t = x_ref[lwins_ref[0, l, 0]]            # (NCH, 8, 128)
+        for s in range(1, S):
+            t = jnp.where((sel == s)[None], x_ref[lwins_ref[0, l, s]], t)
+        t2d = t.reshape(NCH * 8, 128)
+        ci2d = jnp.broadcast_to(ci[None], (NCH, 8, 128)).reshape(
+            NCH * 8, 128)
+        t1 = _take_i32(t2d, ci2d, axis=1)
+        roff = jax.lax.broadcasted_iota(jnp.int32, (NCH, 8, 128), 0) * 8
+        rs2d = (jnp.broadcast_to(rs[None], (NCH, 8, 128)) + roff).reshape(
+            NCH * 8, 128)
+        qn_all = _take_i32(t1, rs2d, axis=0).reshape(NCH, 8, 128)
+        qn = [qn_all[ch] for ch in range(NCH)]
+        vals = _flux_math(qo, qn, w_ref[0, l, 0], w_ref[0, l, 1],
+                          w_ref[0, l, 2], w_ref[0, l, 3])
+        return tuple(a + v for a, v in zip(acc, vals))
+
+    acc = jax.lax.fori_loop(0, nl_ref[w], body,
+                            (jnp.zeros((8, 128), jnp.float32),) * 5)
+    for v in range(5):
+        o_ref[0, v] = acc[v]
+
+
 def build(body, S, l_max):
     kern = functools.partial(body, S, l_max)
     call = pl.pallas_call(
@@ -169,6 +206,7 @@ def main():
         ("possel  S=4 l_max=36 nl~31", body_possel, 4, 36, 31.2),
         ("possel  S=6 l_max=30 nl~25", body_possel, 6, 30, 25.4),
         ("possel  S=8 l_max=28 nl~25", body_possel, 8, 28, 24.9),
+        # ("batched S=8", body_batched, 8, 28, 24.9),  # does not lower
     ]
     for label, body, S, l_max, nl_mean in cases:
         a = make_args(S, l_max, nl_mean)

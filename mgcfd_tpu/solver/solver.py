@@ -114,6 +114,16 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
         from ..prep.renumber import tile_interleave_levels
         levels, node_orders = tile_interleave_levels(levels)
         win_node_map = "linear"
+    elif config.accumulate == "pallas":
+        # the shift megakernel needs the banded node order (spans), so
+        # the mesh is NOT tile-interleaved — but the MG-transfer wsum
+        # plans can still use the position-major map: it is a pure
+        # reshape of ANY (5, P) array, so their kernel operands/results
+        # need no (128,8)->(8,128) relayout (xprof: ~0.3 ms/cycle of
+        # reshape+transpose on the fused box flagship). The coloring is
+        # a little deeper (box restrict 12.8 -> 18.8 layers) but the
+        # MG kernels are a small fraction of the cycle.
+        win_node_map = "linear"
     apply_ewt_conditioning(levels, mesh.variant)
 
     def put(x, dt=dtype):
