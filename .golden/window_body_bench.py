@@ -201,11 +201,13 @@ def timeit_chain(fn, a, Ks=(10, 40)):
 
 def main():
     print(f"devices: {jax.devices()}")
+    # nl means from REAL tet-flagship plans (v5 packer, measured):
+    # S=4: 33.6/46, S=5: 29.6/38, S=6: 27.4/34, S=8: 25.3/30
     cases = [
-        ("current S=4 l_max=46 nl~33", body_current, 4, 46, 32.7),
-        ("possel  S=4 l_max=36 nl~31", body_possel, 4, 36, 31.2),
-        ("possel  S=6 l_max=30 nl~25", body_possel, 6, 30, 25.4),
-        ("possel  S=8 l_max=28 nl~25", body_possel, 8, 28, 24.9),
+        ("possel  S=4 l_max=46 nl~34", body_possel, 4, 46, 33.6),
+        ("possel  S=5 l_max=38 nl~30", body_possel, 5, 38, 29.6),
+        ("possel  S=6 l_max=34 nl~27", body_possel, 6, 34, 27.4),
+        ("possel  S=8 l_max=30 nl~25", body_possel, 8, 30, 25.3),
         # ("batched S=8", body_batched, 8, 28, 24.9),  # does not lower
     ]
     for label, body, S, l_max, nl_mean in cases:
