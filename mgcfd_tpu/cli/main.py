@@ -107,8 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", default=None, metavar="NX,NY,NZ,L",
                    help="run on a generated box mesh instead of -i")
     p.add_argument("--accumulate", default=None,
-                   choices=["segment", "scatter", "ell", "shift",
-                            "pallas", "window"])
+                   choices=["auto", "segment", "scatter", "ell", "shift",
+                            "pallas", "window"],
+                   help="flux accumulation strategy; default 'auto' "
+                        "picks the fast path for the backend and mesh "
+                        "(pallas on shift-covered meshes, window "
+                        "otherwise, segment on CPU/float64)")
     p.add_argument("--renumber", action="store_true",
                    help="RCM-renumber the mesh hierarchy before solving "
                         "(prep/renumber.py): imported unstructured "

@@ -52,7 +52,14 @@ class SolverConfig:
 
     # --- TPU-specific policy (new; no reference counterpart) ---
     dtype: str = "float32"            # float64 for validation, float32/bf16 perf
-    accumulate: str = "segment"       # 'segment'|'scatter'|'ell'|'shift'|'pallas'
+    accumulate: str = "auto"          # 'auto'|'segment'|'scatter'|'ell'|
+                                      # 'shift'|'pallas'|'window'; 'auto'
+                                      # resolves at solver build
+                                      # (solver.resolve_accumulate): the
+                                      # fast path for the backend/mesh —
+                                      # pallas when shift coverage is
+                                      # high, window otherwise, segment
+                                      # on CPU / float64 / flux_fission
     fuse_stage: bool = True           # accumulate='pallas': run the whole RK
     # stage (flux + boundary/wall + time_step + NaN count) as ONE kernel
     # launch; False falls back to the separate-kernel pipeline

@@ -489,6 +489,8 @@ class ShardedSolver:
     def __init__(self, mgmesh: MultigridMesh, config: SolverConfig,
                  devices=None):
         self.config = config
+        from ..solver.solver import resolve_accumulate
+        resolve_accumulate(mgmesh, config)
         config.validate()
         self.mesh = mgmesh
         P_ = config.num_partitions

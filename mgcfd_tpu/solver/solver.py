@@ -87,12 +87,37 @@ class DeviceMesh:
     # through it so the external contract keeps the caller's order
 
 
+def resolve_accumulate(mesh: MultigridMesh, config: SolverConfig) -> None:
+    """accumulate='auto' (the default) -> the fast path for this
+    backend/mesh/dtype, so an unadorned run gets TPU-native performance:
+
+      - CPU backend, float64, or flux_fission: 'segment' (the robust
+        fission-structured stream — the validation-path configuration,
+        and the only auto target that honors flux_fission);
+      - TPU with near-total shift-span coverage on every level (box-class
+        meshes): 'pallas' (the fused-span megakernel);
+      - otherwise: 'window' (the any-mesh windowed-gather kernels).
+
+    Explicit --accumulate choices are never overridden. Mutates config
+    in place (idempotent once resolved)."""
+    if config.accumulate != "auto":
+        return
+    if (config.flux_fission or config.dtype == "float64"
+            or jax.default_backend() == "cpu"):
+        config.accumulate = "segment"
+        return
+    from ..prep.shift import build_shift_plan
+    cov = min(build_shift_plan(l).coverage for l in mesh.levels)
+    config.accumulate = "pallas" if cov >= 0.995 else "window"
+
+
 def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                         device=None) -> DeviceMesh:
     """Condition edge weights per mesh variant (euler3d:333-352), optionally
     precompute |e| (FLUX_PRECOMPUTE_EDGE_WEIGHTS, euler3d:354-362), cast to
     the configured dtype and upload."""
     from ..utils.logging import log
+    resolve_accumulate(mesh, config)
     dtype = jnp.dtype(config.dtype)
     log("prepare_device_mesh: %d levels, dtype=%s, accumulate=%s",
         len(mesh.levels), config.dtype, config.accumulate)

@@ -133,3 +133,26 @@ def test_flux_cripple_transposed_side_effect_free():
                                            flux_cripple=True, **extra))
         b.run(2)
         np.testing.assert_array_equal(a.variables(0), b.variables(0))
+
+
+def test_accumulate_auto_resolution():
+    """accumulate='auto' (the default) resolves at solver build: segment
+    on the CPU backend / float64 / flux_fission; explicit choices are
+    never overridden; 'auto' never reaches the kernels."""
+    from mgcfd_tpu.mesh import generate_multigrid_box
+    from mgcfd_tpu.solver.solver import resolve_accumulate
+    mesh = generate_multigrid_box(6, 6, 6, 2, h=(0.1, 0.1, 0.1))
+
+    cfg = SolverConfig(dtype="float64")
+    assert cfg.accumulate == "auto"
+    s = MGCFDSolver(mesh, cfg)
+    assert s.config.accumulate == "segment"   # CPU backend (conftest)
+    s.run(1)
+
+    cfg = SolverConfig(dtype="float32", flux_fission=True)
+    resolve_accumulate(mesh, cfg)
+    assert cfg.accumulate == "segment"        # the fission-honoring mode
+
+    cfg = SolverConfig(dtype="float64", accumulate="window")
+    resolve_accumulate(mesh, cfg)
+    assert cfg.accumulate == "window"         # explicit wins
