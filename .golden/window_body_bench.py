@@ -132,6 +132,34 @@ def body_batched(S, l_max, base_ref, nl_ref, own_ref, x_ref, lwins_ref,
         o_ref[0, v] = acc[v]
 
 
+def body_unroll(S, l_max, base_ref, nl_ref, own_ref, x_ref, lwins_ref,
+                wsel_ref, ci_ref, rs_ref, w_ref, o_ref):
+    """Static unroll over ALL l_max layers (no fori_loop): dead layers
+    are inert via zero weights in the real plan. Probes fori_loop
+    per-iteration overhead (per-layer cost measured channel-independent
+    ~300 ns for both the 8-ch flux and 5-ch wsum kernels)."""
+    w = pl.program_id(0)
+    qo = [x_ref[own_ref[w] + base_ref[w] * 0, ch] for ch in range(NCH)]
+
+    acc = (jnp.zeros((8, 128), jnp.float32),) * 5
+    for l in range(l_max):
+        sel = wsel_ref[0, l]
+        ci = ci_ref[0, l]
+        rs = rs_ref[0, l]
+        qn = []
+        for ch in range(NCH):
+            t = x_ref[lwins_ref[0, l, 0], ch]
+            for s in range(1, S):
+                t = jnp.where(sel == s, x_ref[lwins_ref[0, l, s], ch], t)
+            t1 = _take_i32(t, ci, axis=1)
+            qn.append(_take_i32(t1, rs, axis=0))
+        vals = _flux_math(qo, qn, w_ref[0, l, 0], w_ref[0, l, 1],
+                          w_ref[0, l, 2], w_ref[0, l, 3])
+        acc = tuple(a + v for a, v in zip(acc, vals))
+    for v in range(5):
+        o_ref[0, v] = acc[v]
+
+
 def build(body, S, l_max):
     kern = functools.partial(body, S, l_max)
     call = pl.pallas_call(
@@ -204,10 +232,8 @@ def main():
     # nl means from REAL tet-flagship plans (v5 packer, measured):
     # S=4: 33.6/46, S=5: 29.6/38, S=6: 27.4/34, S=8: 25.3/30
     cases = [
-        ("possel  S=4 l_max=46 nl~34", body_possel, 4, 46, 33.6),
-        ("possel  S=5 l_max=38 nl~30", body_possel, 5, 38, 29.6),
-        ("possel  S=6 l_max=34 nl~27", body_possel, 6, 34, 27.4),
         ("possel  S=8 l_max=30 nl~25", body_possel, 8, 30, 25.3),
+        ("unroll  S=8 l_max=30 (all)", body_unroll, 8, 30, 25.3),
         # ("batched S=8", body_batched, 8, 28, 24.9),  # does not lower
     ]
     for label, body, S, l_max, nl_mean in cases:

@@ -99,7 +99,7 @@ _MATH = {"flux": (8, lambda qo, qn, w: _flux_math(qo, qn, w[0], w[1],
          "wsum": (5, _wsum_math)}
 
 
-def _window_kernel(S, l_max, nch, math, nw, local_x, linear,
+def _window_kernel(S, l_max, nch, math, nw, local_x, linear, unroll,
                    base_ref, nl_ref, own_ref,  # scalar prefetch
                    x_ref,                      # (kw|n_win_src, nch, 8, 128)
                                                #  linear: (nch, ·, 8, 128)
@@ -129,6 +129,8 @@ def _window_kernel(S, l_max, nch, math, nw, local_x, linear,
 
     qo = [up(xw(own_ref[w], ch)) for ch in range(nch)]
 
+    rw_gate = math is _rw_math
+
     def body(l, acc):
         sel = wsel_ref[0, l]
         ci = ci_ref[0, l]
@@ -143,11 +145,30 @@ def _window_kernel(S, l_max, nch, math, nw, local_x, linear,
             t1 = _take_i32(t, ci, axis=1)
             qn.append(_take_i32(t1, rs, axis=0))
         vals = math(qo, qn, [up(w_ref[0, l, k]) for k in range(nw)])
+        if rw_gate:
+            # flux/wsum values vanish exactly on dead layers (zero
+            # weights kill every term); the rw twin's weightless sum
+            # does not — gate it on layer liveness
+            live = l < nl_ref[w]
+            vals = tuple(jnp.where(live, v, 0.0) for v in vals)
         return tuple(a + v for a, v in zip(acc, vals))
 
     zero = jnp.zeros((8, 128),
                      jnp.float32 if bf16 else o_ref.dtype)
-    acc = jax.lax.fori_loop(0, nl_ref[w], body, (zero,) * 5)
+    # STATIC unroll over all l_max layers in compiled mode:
+    # lax.fori_loop costs ~100 ns per iteration on this kernel (measured
+    # 1.92 -> 1.29 ms/eval on the tet flagship even though the unroll
+    # runs every allocated layer, mean-live 25.3 of 30 —
+    # .golden/window_body_bench.py). Dead layers are inert: their
+    # weights are zero and their gather indices point at finite physical
+    # state. Interpret mode (the CPU CI) keeps the fori_loop — the
+    # unrolled graph is ~l_max x slower to trace and execute there.
+    if unroll:
+        acc = (zero,) * 5
+        for l in range(l_max):
+            acc = body(l, acc)
+    else:
+        acc = jax.lax.fori_loop(0, nl_ref[w], body, (zero,) * 5)
     for v in range(5):
         if linear:
             o_ref[v, 0] = acc[v].astype(o_ref.dtype)
@@ -190,7 +211,7 @@ def _bw_flux_ch(qo, nc):
     )
 
 
-def _window_fused_kernel(S, l_max, nch, nw, local_x, linear, have_spill,
+def _window_fused_kernel(S, l_max, nch, nw, local_x, linear, unroll, have_spill,
                          refs):
     """One RK stage on one owner window: windowed flux + dense
     boundary/wall + time_step + invalid count in a single launch (the
@@ -240,7 +261,13 @@ def _window_fused_kernel(S, l_max, nch, nw, local_x, linear, have_spill,
         return tuple(a + v for a, v in zip(acc, vals))
 
     zero = jnp.zeros((8, 128), jnp.float32 if bf16 else o_ref.dtype)
-    acc = jax.lax.fori_loop(0, nl_ref[w], body, (zero,) * 5)
+    # static unroll in compiled mode: see _window_kernel
+    if unroll:
+        acc = (zero,) * 5
+        for l in range(l_max):
+            acc = body(l, acc)
+    else:
+        acc = jax.lax.fori_loop(0, nl_ref[w], body, (zero,) * 5)
     bw = _bw_flux_ch(qo, [up(tile(nc_ref, k)) for k in range(11)])
     fac = up(tile(fac_ref, 0))
     bad = jnp.float32(0.0)
@@ -330,7 +357,8 @@ class PallasWindowFusedStage:
         S, l_max = plan.n_src, plan.l_max
         whole_x = plan.src_windows * nch * 4096 <= WHOLE_X_LIMIT_BYTES
         kern = functools.partial(_window_fused_kernel, S, l_max, nch,
-                                 nw, not whole_x, linear, have_spill)
+                                 nw, not whole_x, linear,
+                                 not self.interpret, have_spill)
 
         def body(*refs):
             kern(refs)
@@ -480,7 +508,8 @@ class PallasWindowFlux:
         # so only when needed.
         whole_x = plan.src_windows * nch * 4096 <= WHOLE_X_LIMIT_BYTES
         kernel = functools.partial(_window_kernel, S, l_max, nch, math,
-                                   nw, not whole_x, linear)
+                                   nw, not whole_x, linear,
+                                   not self.interpret)
         if whole_x:
             x_spec = pl.BlockSpec(Xw.shape, lambda w, *_: (0, 0, 0, 0))
         elif linear:

@@ -501,6 +501,9 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
     wsum = dense_local.copy()
     np.add.at(wsum, a2, B1)
 
+    # S=8 like the flux plan: an S=4 wsum plan (27.2 layers vs 21.0)
+    # measured NO faster on-chip — the per-layer cost is dominated by
+    # channel-independent layer overhead, so fewer layers wins
     plan, ok = build_halfedge_plan(num_fine_pad or n, a2, b2,
                                    B1[:, None], l_cap=l_cap,
                                    node_map=node_map)
