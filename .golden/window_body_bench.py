@@ -160,13 +160,54 @@ def body_unroll(S, l_max, base_ref, nl_ref, own_ref, x_ref, lwins_ref,
         o_ref[0, v] = acc[v]
 
 
+def body_unroll_guard(S, l_max, base_ref, nl_ref, own_ref, x_ref,
+                      lwins_ref, wsel_ref, ci_ref, rs_ref, w_ref, o_ref,
+                      acc_ref):
+    """Static unroll with per-layer pl.when(l < nl) guards beyond a
+    static always-live prefix: dead layers cost a scalar-core branch
+    instead of 16 gathers + flux math. acc lives in VMEM scratch
+    (pl.when cannot carry values)."""
+    w = pl.program_id(0)
+    qo = [x_ref[own_ref[w] + base_ref[w] * 0, ch] for ch in range(NCH)]
+    nl = nl_ref[w]
+    acc_ref[...] = jnp.zeros((5, 8, 128), jnp.float32)
+
+    def layer(l):
+        sel = wsel_ref[0, l]
+        ci = ci_ref[0, l]
+        rs = rs_ref[0, l]
+        qn = []
+        for ch in range(NCH):
+            t = x_ref[lwins_ref[0, l, 0], ch]
+            for s in range(1, S):
+                t = jnp.where(sel == s, x_ref[lwins_ref[0, l, s], ch], t)
+            t1 = _take_i32(t, ci, axis=1)
+            qn.append(_take_i32(t1, rs, axis=0))
+        vals = _flux_math(qo, qn, w_ref[0, l, 0], w_ref[0, l, 1],
+                          w_ref[0, l, 2], w_ref[0, l, 3])
+        for v in range(5):
+            acc_ref[v] += vals[v]
+
+    GUARD_FROM = 8  # min live layers in the dummy plans
+    for l in range(l_max):
+        if l < GUARD_FROM:
+            layer(l)
+        else:
+            pl.when(l < nl)(lambda l=l: layer(l))
+    for v in range(5):
+        o_ref[0, v] = acc_ref[v]
+
+
 def build(body, S, l_max):
     kern = functools.partial(body, S, l_max)
+    scratch = ([pltpu.VMEM((5, 8, 128), jnp.float32)]
+               if body is body_unroll_guard else [])
     call = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(N_WIN,),
+            scratch_shapes=scratch,
             in_specs=[
                 pl.BlockSpec((N_WIN, NCH, 8, 128),
                              lambda w, *_: (0, 0, 0, 0)),
@@ -234,6 +275,7 @@ def main():
     cases = [
         ("possel  S=8 l_max=30 nl~25", body_possel, 8, 30, 25.3),
         ("unroll  S=8 l_max=30 (all)", body_unroll, 8, 30, 25.3),
+        ("guarded S=8 l_max=30 nl~25", body_unroll_guard, 8, 30, 25.3),
         # ("batched S=8", body_batched, 8, 28, 24.9),  # does not lower
     ]
     for label, body, S, l_max, nl_mean in cases:
