@@ -63,12 +63,13 @@ class SolverConfig:
     fuse_stage: bool = True           # accumulate='pallas': run the whole RK
     # stage (flux + boundary/wall + time_step + NaN count) as ONE kernel
     # launch; False falls back to the separate-kernel pipeline
-    fuse_window_stage: bool = False   # same fusion for accumulate='window'
-    # (PallasWindowFusedStage). Default OFF: measured 19.7 vs 17.6
-    # ms/cycle on the tet flagship — deep-layer window plans already
-    # stream ~5 MB of plan blocks per grid step and the extra fused
-    # operands push VMEM over the whole-X residency cliff. Capability
-    # retained (tested) for shallow-plan meshes.
+    fuse_window_stage: bool | None = None  # same fusion for
+    # accumulate='window' (PallasWindowFusedStage). None = auto: fuse
+    # exactly when the kernel keeps whole-X VMEM residency — measured
+    # faster there with depth-bucketed dispatch (9.33 vs 9.64 ms/cycle,
+    # tet flagship); above the residency cliff (capacity-scale meshes)
+    # the extra fused operands risk the Mosaic compile ceiling, so auto
+    # turns it off. True/False force it.
     transposed: bool = False          # (NVAR, N) state layout inside the RK
     # loop (lane-major; needs accumulate='shift')
     window_tile_order: bool = True    # accumulate='window': run on an

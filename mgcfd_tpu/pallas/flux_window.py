@@ -51,6 +51,55 @@ NCH = 8  # rho, mx, my, mz, E, p, s(=speed+sos), inv_rho
 # module-level so tests can force the blocked path on small meshes.
 WHOLE_X_LIMIT_BYTES = 24 * 2 ** 20
 
+# One extra pallas launch priced in window-layers for the depth-bucket
+# DP (below): a launch gap is ~30-70 us against ~0.15 us per
+# window-layer of kernel body (tet flagship, BASELINE.md).
+LAUNCH_COST_WL = 400
+
+
+def _depth_buckets(layer_count, max_buckets: int = 4):
+    """Partition depth-sorted windows into <= max_buckets contiguous
+    buckets minimizing sum_b(n_b * depth_max_b) + launches: the static
+    layer unroll runs l_max for EVERY window of a dispatch, so a deep
+    tail (e.g. 12 of 298 windows at 31-44 layers vs mean 25 on the tet
+    flagship's composed prolong plan) taxes every window ~40% unless
+    split off. Exact DP over the <= l_cap distinct depth values.
+
+    Returns (order, buckets): order = window ids sorted by depth,
+    buckets = [(start, count, l_max_b)] over the sorted sequence."""
+    lc = np.asarray(layer_count, np.int64)
+    n = lc.shape[0]
+    order = np.argsort(lc, kind="stable").astype(np.int32)
+    d = lc[order]
+    cand = np.concatenate(
+        [[0], np.flatnonzero(np.diff(d) != 0) + 1, [n]]).astype(int)
+    m = cand.shape[0]
+    INF = float("inf")
+    # best[k][i]: min cost covering sorted[0:cand[i]] with k buckets
+    best = [[INF] * m for _ in range(max_buckets + 1)]
+    prev = [[0] * m for _ in range(max_buckets + 1)]
+    best[0][0] = 0.0
+    for k in range(1, max_buckets + 1):
+        for i in range(1, m):
+            for j in range(i):
+                if best[k - 1][j] == INF:
+                    continue
+                c = best[k - 1][j] + (cand[i] - cand[j]) \
+                    * int(d[cand[i] - 1]) + LAUNCH_COST_WL
+                if c < best[k][i]:
+                    best[k][i] = c
+                    prev[k][i] = j
+    k = min(range(1, max_buckets + 1), key=lambda k: best[k][m - 1])
+    cuts = []
+    i = m - 1
+    while k > 0:
+        j = prev[k][i]
+        cuts.append((int(cand[j]), int(cand[i])))
+        i, k = j, k - 1
+    cuts.reverse()
+    buckets = [(s, e - s, int(d[e - 1])) for s, e in cuts if e > s]
+    return order, buckets
+
 
 def _flux_math(qo, qn, w0, w1, w2, wt):
     """Per-slot edge flux value (5 channels), owner-oriented.
@@ -100,21 +149,36 @@ _MATH = {"flux": (8, lambda qo, qn, w: _flux_math(qo, qn, w[0], w[1],
 
 
 def _window_kernel(S, l_max, nch, math, nw, local_x, linear, unroll,
-                   base_ref, nl_ref, own_ref,  # scalar prefetch
-                   x_ref,                      # (kw|n_win_src, nch, 8, 128)
-                                               #  linear: (nch, ·, 8, 128)
-                   lwins_ref,                  # (1, l_max, S) i32
-                   wsel_ref, ci_ref, rs_ref,   # (1, l_max, 8, 128) i32
-                   w_ref,                      # (1, l_max, K, 8, 128)
-                   o_ref):                     # (1, 5, 8, 128)
-                                               #  linear: (5, 1, 8, 128)
+                   start, *refs):
+    # refs (unbucketed, start=None):
+    #   base_ref, nl_ref, own_ref,    scalar prefetch
+    #   x_ref,                        (kw|n_win_src, nch, 8, 128)
+    #                                  linear: (nch, ·, 8, 128)
+    #   lwins_ref,                    (1, l_max, S) i32
+    #   wsel_ref, ci_ref, rs_ref,     (1, l_max, 8, 128) i32
+    #   w_ref,                        (1, l_max, K, 8, 128)
+    #   o_ref                         (1, 5, 8, 128)
+    #                                  linear: (5, 1, 8, 128)
+    # Depth-bucketed dispatch (start=int): a wmap scalar ref follows
+    # own_ref (window id = wmap[start + program_id]; plan/output blocks
+    # are already remapped by the index_maps), and buckets after the
+    # first carry the previous bucket's partial output as an extra
+    # ignored ANY-space input aliased to o_ref (disjoint windows).
+    if start is None:
+        (base_ref, nl_ref, own_ref, x_ref, lwins_ref, wsel_ref, ci_ref,
+         rs_ref, w_ref, o_ref) = refs
+        w = pl.program_id(0)
+    else:
+        (base_ref, nl_ref, own_ref, wmap_ref, x_ref, lwins_ref,
+         wsel_ref, ci_ref, rs_ref, w_ref) = refs[:10]
+        o_ref = refs[-1]
+        w = wmap_ref[start + pl.program_id(0)]
     # With local_x, x_ref is the kw-wide NEIGHBORHOOD block
     # (element-granular start base_ref[w] via pl.Element) and the
     # plan's local window offsets index it directly; otherwise x_ref is
     # the whole state and the base is added in-kernel. With linear
     # (plan.linear_layout), x/o are channel-major pure reshapes of the
     # (·, P) state — no relayout exists anywhere on the path.
-    w = pl.program_id(0)
     off = 0 if local_x else base_ref[w]
     # bf16 = storage format only: gathers and VPU math run on f32 VMEM
     # tiles (Mosaic's dynamic_gather has no bf16 path, and the flux
@@ -211,24 +275,28 @@ def _bw_flux_ch(qo, nc):
     )
 
 
-def _window_fused_kernel(S, l_max, nch, nw, local_x, linear, unroll, have_spill,
-                         refs):
+def _window_fused_kernel(S, l_max, nch, nw, local_x, linear, unroll,
+                         have_spill, start, refs):
     """One RK stage on one owner window: windowed flux + dense
     boundary/wall + time_step + invalid count in a single launch (the
     windowed twin of flux_shift._fused_kernel; reference stage sequence
-    euler3d_cpu_double.cpp:383-512)."""
+    euler3d_cpu_double.cpp:383-512). start: depth-bucket window base
+    (None = plain full grid) — see _window_kernel."""
     from jax.experimental import pallas as pl
 
-    if have_spill:
+    if start is None:
         (base_ref, nl_ref, own_ref, x_ref, lwins_ref, wsel_ref, ci_ref,
-         rs_ref, w_ref, nc_ref, old_ref, fac_ref, spill_ref,
-         o_ref, inv_ref) = refs
+         rs_ref, w_ref, nc_ref, old_ref, fac_ref) = refs[:12]
+        rest = refs[12:]
+        w = pl.program_id(0)
     else:
-        (base_ref, nl_ref, own_ref, x_ref, lwins_ref, wsel_ref, ci_ref,
-         rs_ref, w_ref, nc_ref, old_ref, fac_ref,
-         o_ref, inv_ref) = refs
-        spill_ref = None
-    w = pl.program_id(0)
+        (base_ref, nl_ref, own_ref, wmap_ref, x_ref, lwins_ref,
+         wsel_ref, ci_ref, rs_ref, w_ref, nc_ref, old_ref,
+         fac_ref) = refs[:13]
+        rest = refs[13:]
+        w = wmap_ref[start + pl.program_id(0)]
+    spill_ref = rest[0] if have_spill else None
+    o_ref, inv_ref = rest[-2], rest[-1]
     off = 0 if local_x else base_ref[w]
     bf16 = x_ref.dtype == jnp.bfloat16
 
@@ -288,7 +356,7 @@ def _window_fused_kernel(S, l_max, nch, nw, local_x, linear, unroll, have_spill,
             badv = badv + jnp.where(qnew < 0, 1.0, 0.0)
         bad = bad + jnp.sum(badv.astype(jnp.float32))
 
-    @pl.when(w == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _init():
         inv_ref[0, 0] = 0
 
@@ -351,17 +419,57 @@ class PallasWindowFusedStage:
                 1, 0, 3, 2)
         old_w = self._tile(old, 5)
         fac_w = self._tile(fac[None], 1)
-        have_spill = spill is not None
-
-        grid = (plan.n_win,)
-        S, l_max = plan.n_src, plan.l_max
+        spill_w = self._tile(spill, 5) if spill is not None else None
         whole_x = plan.src_windows * nch * 4096 <= WHOLE_X_LIMIT_BYTES
-        kern = functools.partial(_window_fused_kernel, S, l_max, nch,
+
+        buckets = base.buckets
+        if len(buckets) == 1:
+            out, inv = self._stage_dispatch(
+                Xw, arrays, old_w, fac_w, spill_w, q.dtype, nch, nw,
+                whole_x, linear, None, plan.n_win, plan.l_max, None)
+            invalid = inv[0, 0]
+        else:
+            # depth-bucketed like PallasWindowFlux._dispatch: each
+            # bucket statically unrolls to ITS depth and aliases the
+            # partial output; per-bucket invalid counts sum
+            out = None
+            invalid = jnp.int32(0)
+            for bstart, bcount, blmax in buckets:
+                out, inv = self._stage_dispatch(
+                    Xw, arrays, old_w, fac_w, spill_w, q.dtype, nch, nw,
+                    whole_x, linear, bstart, bcount, blmax, out)
+                invalid = invalid + inv[0, 0]
+        if linear:
+            qnew = out.reshape(5, self.padded)
+        else:
+            qnew = out.transpose(1, 0, 3, 2).reshape(5, self.padded)
+        return qnew, invalid
+
+    def _stage_dispatch(self, Xw, arrays, old_w, fac_w, spill_w, qdtype,
+                        nch, nw, whole_x, linear, start, count, l_max_b,
+                        prev):
+        """One fused-stage pallas_call over `count` windows unrolled to
+        l_max_b layers (start=None: plain full grid; else the depth
+        bucket wmap[start:start+count] with `prev` aliased — see
+        PallasWindowFlux._dispatch)."""
+        base = self.base
+        plan = base.plan
+        S = plan.n_src
+        have_spill = spill_w is not None
+        bucketed = start is not None
+        kern = functools.partial(_window_fused_kernel, S, l_max_b, nch,
                                  nw, not whole_x, linear,
-                                 not self.interpret, have_spill)
+                                 not self.interpret, have_spill, start)
 
         def body(*refs):
             kern(refs)
+
+        if bucketed:
+            def widx(w, base_r, nl, own, wmap):
+                return wmap[start + w]
+        else:
+            def widx(w, *_):
+                return w
 
         if whole_x:
             x_spec = pl.BlockSpec(Xw.shape, lambda w, *_: (0, 0, 0, 0))
@@ -369,44 +477,63 @@ class PallasWindowFusedStage:
             x_spec = pl.BlockSpec(
                 (pl.Element(nch), pl.Element(plan.kw), pl.Element(8),
                  pl.Element(128)),
-                lambda w, base, *_: (0, base[w], 0, 0))
+                lambda w, base_r, *sc: (0, base_r[widx(w, base_r, *sc)],
+                                        0, 0))
         else:
             x_spec = pl.BlockSpec(
                 (pl.Element(plan.kw), pl.Element(nch), pl.Element(8),
                  pl.Element(128)),
-                lambda w, base, *_: (base[w], 0, 0, 0))
+                lambda w, base_r, *sc: (base_r[widx(w, base_r, *sc)],
+                                        0, 0, 0))
 
         def tspec(rows):
             if linear:
-                return pl.BlockSpec((rows, 1, 8, 128),
-                                    lambda w, *_: (0, w, 0, 0))
-            return pl.BlockSpec((1, rows, 8, 128),
-                                lambda w, *_: (w, 0, 0, 0))
+                return pl.BlockSpec(
+                    (rows, 1, 8, 128),
+                    lambda w, *sc: (0, widx(w, *sc), 0, 0))
+            return pl.BlockSpec(
+                (1, rows, 8, 128),
+                lambda w, *sc: (widx(w, *sc), 0, 0, 0))
 
         in_specs = [
             x_spec,
-            pl.BlockSpec((1, l_max, S), lambda w, *_: (w, 0, 0)),
-            pl.BlockSpec((1, l_max, 8, 128), lambda w, *_: (w, 0, 0, 0)),
-            pl.BlockSpec((1, l_max, 8, 128), lambda w, *_: (w, 0, 0, 0)),
-            pl.BlockSpec((1, l_max, 8, 128), lambda w, *_: (w, 0, 0, 0)),
-            pl.BlockSpec((1, l_max, nw, 8, 128),
-                         lambda w, *_: (w, 0, 0, 0, 0)),
+            # full-depth lwins block: S is the sublane dim (see
+            # PallasWindowFlux._dispatch)
+            pl.BlockSpec((1, plan.l_max, S),
+                         lambda w, *sc: (widx(w, *sc), 0, 0)),
+            pl.BlockSpec((1, l_max_b, 8, 128),
+                         lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
+            pl.BlockSpec((1, l_max_b, 8, 128),
+                         lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
+            pl.BlockSpec((1, l_max_b, 8, 128),
+                         lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
+            pl.BlockSpec((1, l_max_b, nw, 8, 128),
+                         lambda w, *sc: (widx(w, *sc), 0, 0, 0, 0)),
             tspec(11),
             tspec(5),
             tspec(1),
         ]
-        args = [arrays["base"], arrays["nl"], arrays["own"], Xw,
-                arrays["lwins"], arrays["wsel"], arrays["ci"],
-                arrays["rs"], arrays["w4"], self.nc, old_w, fac_w]
+        args = [arrays["base"], arrays["nl"], arrays["own"]]
+        nsp = 3
+        if bucketed:
+            args.append(base.wmap_dev)
+            nsp = 4
+        args += [Xw, arrays["lwins"], arrays["wsel"], arrays["ci"],
+                 arrays["rs"], arrays["w4"], self.nc, old_w, fac_w]
         if have_spill:
             in_specs.append(tspec(5))
-            args.append(self._tile(spill, 5))
+            args.append(spill_w)
+        aliases = {}
+        if prev is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            args.append(prev)
+            aliases = {len(args) - 1: 0}
         from jax.experimental.pallas import tpu as pltpu
-        out, inv = pl.pallas_call(
+        return pl.pallas_call(
             body,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=grid,
+                num_scalar_prefetch=nsp,
+                grid=(count,),
                 in_specs=in_specs,
                 out_specs=(
                     tspec(5),
@@ -417,16 +544,12 @@ class PallasWindowFusedStage:
             out_shape=(
                 jax.ShapeDtypeStruct((5, plan.n_win, 8, 128) if linear
                                      else (plan.n_win, 5, 8, 128),
-                                     q.dtype),
+                                     qdtype),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ),
+            input_output_aliases=aliases,
             interpret=self.interpret,
         )(*args)
-        if linear:
-            qnew = out.reshape(5, self.padded)
-        else:
-            qnew = out.transpose(1, 0, 3, 2).reshape(5, self.padded)
-        return qnew, inv[0, 0]
 
 
 class PallasWindowFlux:
@@ -441,7 +564,7 @@ class PallasWindowFlux:
 
     def __init__(self, plan: WindowPlan, num_nodes: int, dtype=jnp.float32,
                  interpret: bool = False, rw: bool = False, arrays=None,
-                 mode: str | None = None):
+                 mode: str | None = None, bucket: bool = True):
         self.plan = plan
         self.num_nodes = num_nodes
         self.padded = plan.padded_nodes           # OWNER/output lanes
@@ -449,6 +572,17 @@ class PallasWindowFlux:
         self.dtype = jnp.dtype(dtype)
         self.interpret = interpret
         self.mode = mode or ("rw" if rw else "flux")
+        # depth buckets (see _depth_buckets): interpret mode keeps the
+        # fori_loop single dispatch; callers that swap in plan arrays
+        # for a DIFFERENT plan (the sharded per-shard template) must
+        # pass bucket=False — the bucket structure is baked from THIS
+        # plan's layer_count at trace time.
+        if bucket and not interpret:
+            order, self.buckets = _depth_buckets(plan.layer_count)
+            self.wmap_dev = jnp.asarray(order, jnp.int32)
+        else:
+            self.buckets = [(0, plan.n_win, plan.l_max)]
+            self.wmap_dev = None
         f = np.asarray
         # kept as a dict so callers pass them through jit as ARGUMENTS —
         # closure-embedding ~450 MB of plan constants into the HLO blows
@@ -497,8 +631,7 @@ class PallasWindowFlux:
             Xw = X.reshape(nch, plan.src_windows, 128, 8).transpose(
                 1, 0, 3, 2)
 
-        grid = (plan.n_win,)
-        S, l_max = plan.n_src, plan.l_max
+        S = plan.n_src
         # Whole-X VMEM residency is fastest to compile and run, but
         # breaks down at multi-million-node meshes (the 8M-edge mesh's
         # 76 MB state crashed the Mosaic compile helper). Above a
@@ -507,55 +640,103 @@ class PallasWindowFlux:
         # prefetched base) — same kernel body, ~24x slower compiles,
         # so only when needed.
         whole_x = plan.src_windows * nch * 4096 <= WHOLE_X_LIMIT_BYTES
-        kernel = functools.partial(_window_kernel, S, l_max, nch, math,
-                                   nw, not whole_x, linear,
-                                   not self.interpret)
+        if len(self.buckets) == 1:
+            out = self._dispatch(Xw, arrays, nch, math, nw, whole_x,
+                                 linear, None, plan.n_win, plan.l_max,
+                                 None)
+        else:
+            # depth-bucketed: one dispatch per bucket, each statically
+            # unrolled only to ITS depth; later buckets alias the
+            # partial output (disjoint window sets)
+            out = None
+            for bstart, bcount, blmax in self.buckets:
+                out = self._dispatch(Xw, arrays, nch, math, nw, whole_x,
+                                     linear, bstart, bcount, blmax, out)
+        if linear:
+            return out.reshape(5, P)
+        return out.transpose(1, 0, 3, 2).reshape(5, P)
+
+    def _dispatch(self, Xw, arrays, nch, math, nw, whole_x, linear,
+                  start, count, l_max_b, prev):
+        """One pallas_call over `count` windows unrolled to l_max_b
+        layers. start=None: the plain full-grid dispatch. start=int:
+        windows wmap[start:start+count] of the depth-sorted order, with
+        `prev` (the previous bucket's partial output) aliased to the
+        output so untouched windows keep their values."""
+        plan = self.plan
+        S = plan.n_src
+        bucketed = start is not None
+        kernel = functools.partial(_window_kernel, S, l_max_b, nch,
+                                   math, nw, not whole_x, linear,
+                                   not self.interpret, start)
+
+        if bucketed:
+            def widx(w, base, nl, own, wmap):
+                return wmap[start + w]
+        else:
+            def widx(w, *_):
+                return w
+
         if whole_x:
             x_spec = pl.BlockSpec(Xw.shape, lambda w, *_: (0, 0, 0, 0))
         elif linear:
             x_spec = pl.BlockSpec(
                 (pl.Element(nch), pl.Element(plan.kw), pl.Element(8),
                  pl.Element(128)),
-                lambda w, base, *_: (0, base[w], 0, 0))
+                lambda w, base, *sc: (0, base[widx(w, base, *sc)], 0, 0))
         else:
             x_spec = pl.BlockSpec(
                 (pl.Element(plan.kw), pl.Element(nch), pl.Element(8),
                  pl.Element(128)),
-                lambda w, base, *_: (base[w], 0, 0, 0))
+                lambda w, base, *sc: (base[widx(w, base, *sc)], 0, 0, 0))
         if linear:
-            out_spec = pl.BlockSpec((5, 1, 8, 128),
-                                    lambda w, *_: (0, w, 0, 0))
+            out_spec = pl.BlockSpec(
+                (5, 1, 8, 128), lambda w, *sc: (0, widx(w, *sc), 0, 0))
             out_shape = jax.ShapeDtypeStruct((5, plan.n_win, 8, 128),
                                              self.dtype)
         else:
-            out_spec = pl.BlockSpec((1, 5, 8, 128),
-                                    lambda w, *_: (w, 0, 0, 0))
+            out_spec = pl.BlockSpec(
+                (1, 5, 8, 128), lambda w, *sc: (widx(w, *sc), 0, 0, 0))
             out_shape = jax.ShapeDtypeStruct((plan.n_win, 5, 8, 128),
                                              self.dtype)
-        out = pl.pallas_call(
+        in_specs = [
+            x_spec,
+            # full-depth block: S lands in the sublane dim, so a
+            # truncated depth violates Mosaic's 8-divisibility rule —
+            # and the whole slab is l_max x S i32, not worth slicing
+            pl.BlockSpec((1, plan.l_max, S),
+                         lambda w, *sc: (widx(w, *sc), 0, 0)),
+            pl.BlockSpec((1, l_max_b, 8, 128),
+                         lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
+            pl.BlockSpec((1, l_max_b, 8, 128),
+                         lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
+            pl.BlockSpec((1, l_max_b, 8, 128),
+                         lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
+            pl.BlockSpec((1, l_max_b, nw, 8, 128),
+                         lambda w, *sc: (widx(w, *sc), 0, 0, 0, 0)),
+        ]
+        args = [arrays["base"], arrays["nl"], arrays["own"]]
+        nsp = 3
+        if bucketed:
+            args.append(self.wmap_dev)
+            nsp = 4
+        args += [Xw, arrays["lwins"], arrays["wsel"], arrays["ci"],
+                 arrays["rs"], arrays["w4"]]
+        aliases = {}
+        if prev is not None:
+            # untouched HBM carry of the earlier buckets' windows
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            args.append(prev)
+            aliases = {len(args) - 1: 0}
+        return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=grid,
-                in_specs=[
-                    x_spec,
-                    pl.BlockSpec((1, l_max, S), lambda w, *_: (w, 0, 0)),
-                    pl.BlockSpec((1, l_max, 8, 128),
-                                 lambda w, *_: (w, 0, 0, 0)),
-                    pl.BlockSpec((1, l_max, 8, 128),
-                                 lambda w, *_: (w, 0, 0, 0)),
-                    pl.BlockSpec((1, l_max, 8, 128),
-                                 lambda w, *_: (w, 0, 0, 0)),
-                    pl.BlockSpec((1, l_max, nw, 8, 128),
-                                 lambda w, *_: (w, 0, 0, 0, 0)),
-                ],
+                num_scalar_prefetch=nsp,
+                grid=(count,),
+                in_specs=in_specs,
                 out_specs=out_spec,
             ),
             out_shape=out_shape,
+            input_output_aliases=aliases,
             interpret=self.interpret,
-        )(arrays["base"], arrays["nl"], arrays["own"], Xw,
-          arrays["lwins"], arrays["wsel"], arrays["ci"], arrays["rs"],
-          arrays["w4"])
-        if linear:
-            return out.reshape(5, P)
-        return out.transpose(1, 0, 3, 2).reshape(5, P)
+        )(*args)

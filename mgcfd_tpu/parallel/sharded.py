@@ -350,10 +350,15 @@ def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
         # production kernel and serves both config names here)
         from ..pallas.flux_window import PallasWindowFlux
         interp = mesh.devices.flat[0].platform == "cpu"
+        # bucket=False: the template plan's layer_count is shard 0's;
+        # per-shard arrays are swapped in at call time, so the baked
+        # depth-bucket structure would be wrong for the other shards
         wflux = PallasWindowFlux(sd.win_template, sd.block, dtype=dtype,
-                                 interpret=interp, arrays={})
+                                 interpret=interp, arrays={},
+                                 bucket=False)
         wrw = PallasWindowFlux(sd.win_template, sd.block, dtype=dtype,
-                               interpret=interp, rw=True, arrays={})
+                               interpret=interp, rw=True, arrays={},
+                               bucket=False)
         wkernels = (wflux, wrw)
         wa = sd.win_arrays
         sharded_const.update({

@@ -466,12 +466,22 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
     mode. A1/BS/weight sums are precomputed per-node dense constants.
     Spilled half-edges (window overflow) go to a small indexed stream.
 
-    When `num_coarse_pad` is given, the parent gather itself also gets a
-    cross-space wsum plan ("pplan": one weight-1.0 half per fine node,
-    neighbors in the coarse space): XLA lowers `rc[:, mapping]` to a
-    minor-axis HLO gather that xprof measured at 35 GB/s / ~0.85 ms per
-    tet-flagship cycle — the windowed kernel's per-lane dynamic_gather
-    does the same mapping at vector speed.
+    When `num_coarse_pad` is given, the WHOLE operator is instead
+    COMPOSED into one cross-space wsum plan ("cplan") whose sources are
+    the coarse residuals directly: substituting G[n] = rc[mapping[n]]
+    into wavg = coincident ? G : inv_wsum * (dense_local * G + sum_e
+    B1_e * G[b2]) gives, per fine node i,
+
+      wavg[i] = w_dense_i * rc[m_i] + sum_e (B1_e * inv_wsum_i) * rc[b1_e]
+      w_dense_i = coincident_i ? 1.0 : dense_local_i * inv_wsum_i
+
+    — a plain weighted sum over coarse nodes. One kernel launch replaces
+    the earlier two-kernel chain (parent-gather "pplan" + fine-space B1
+    plan) and the materialized G intermediate; coarse sources are dense
+    (~n_fine/8 nodes), so the composite packs no worse than the B1 plan.
+    Coincident nodes reduce to the single weight-1.0 parent half (their
+    B1 halves are identically zero and are dropped), so they reproduce
+    G exactly up to inert zero-adds, preserving the verbatim-G contract.
     """
     n = fine.num_nodes
     mapping = fine.mg_mapping
@@ -501,6 +511,26 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
     wsum = dense_local.copy()
     np.add.at(wsum, a2, B1)
 
+    if num_coarse_pad is not None:
+        # composed operator: wavg directly from rc in ONE cross-space
+        # plan (see docstring); inv_wsum and the coincident select are
+        # folded into the half-edge weights
+        inv = 1.0 / np.where(wsum > 0, wsum, 1.0)
+        dense_w = np.where(coincident, 1.0, dense_local * inv)
+        live_nb = B1 != 0.0          # B1 == 0 where coincident[a2]
+        owner_c = np.concatenate([np.arange(n, dtype=np.int64),
+                                  a2[live_nb]])
+        nbr_c = np.concatenate([mapping.astype(np.int64), b1[live_nb]])
+        w_c = np.concatenate([dense_w, B1[live_nb] * inv[a2[live_nb]]])
+        cplan, cok = build_halfedge_plan(
+            num_fine_pad or n, owner_c, nbr_c, w_c[:, None], l_cap=l_cap,
+            num_nbr_nodes=num_coarse_pad, node_map=node_map)
+        csp = ~cok
+        return {"cplan": cplan, "coincident": coincident,
+                "cspill_fine": owner_c[csp].astype(np.int32),
+                "cspill_coarse": nbr_c[csp].astype(np.int32),
+                "cspill_w": w_c[csp]}
+
     # S=8 like the flux plan: an S=4 wsum plan (27.2 layers vs 21.0)
     # measured NO faster on-chip — the per-layer cost is dominated by
     # channel-independent layer overhead, so fewer layers wins
@@ -508,24 +538,13 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
                                    B1[:, None], l_cap=l_cap,
                                    node_map=node_map)
     sp = ~ok
-    out = {"plan": plan,
-           "dense_local": dense_local, "wsum": wsum,
-           "coincident": coincident,
-           "parent": mapping.astype(np.int32),
-           "spill_a2": a2[sp].astype(np.int32),
-           "spill_b2": b2[sp].astype(np.int32),
-           "spill_B1": B1[sp]}
-    if num_coarse_pad is not None:
-        owner = np.arange(n, dtype=np.int64)
-        pplan, pok = build_halfedge_plan(
-            num_fine_pad or n, owner, mapping.astype(np.int64),
-            np.ones((n, 1)), l_cap=l_cap,
-            num_nbr_nodes=num_coarse_pad, node_map=node_map)
-        psp = ~pok
-        out.update({"pplan": pplan,
-                    "pspill_fine": owner[psp].astype(np.int32),
-                    "pspill_parent": mapping[psp].astype(np.int32)})
-    return out
+    return {"plan": plan,
+            "dense_local": dense_local, "wsum": wsum,
+            "coincident": coincident,
+            "parent": mapping.astype(np.int32),
+            "spill_a2": a2[sp].astype(np.int32),
+            "spill_b2": b2[sp].astype(np.int32),
+            "spill_B1": B1[sp]}
 
 
 # --------------------------------------------------------------------------
@@ -545,8 +564,10 @@ _PLAN_SCALARS = ["n_win", "kw", "l_max", "n_src", "num_half_edges",
 # bump when the packer's layout/heuristics change: the content key
 # includes it so stale cached plans are rebuilt, not silently reused
 # (v4: position-keyed source selection, S=8; v5: prolong dict carries
-# the cross-space parent-gather plan)
-PLAN_FORMAT_VERSION = 5
+# the cross-space parent-gather plan; v6: the prolong operator is
+# COMPOSED into one coarse-sourced plan — pplan and the fine-space B1
+# plan are gone from the cross-space dict)
+PLAN_FORMAT_VERSION = 6
 
 
 def _content_key(arrays) -> str:

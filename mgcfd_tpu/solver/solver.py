@@ -205,8 +205,17 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                 l.num_nodes, l.bedge_b, l.bedge_w, l.wedge_b, l.wedge_w,
                 far_field_state(np.float64)[1])
             dense_bw_t = (put(bdn), put(wln), put(wlc))
-            if (config.fuse_window_stage
-                    and window_flux.padded == window_flux.padded_in):
+            fuse_win = config.fuse_window_stage
+            if fuse_win is None:
+                # auto: fuse while the fused kernel keeps whole-X VMEM
+                # residency (measured faster there once depth-bucketed:
+                # 9.33 vs 9.64 ms/cycle tet flagship, BASELINE.md);
+                # above the cliff the extra operands risk the Mosaic
+                # compile ceiling
+                from ..pallas.flux_window import WHOLE_X_LIMIT_BYTES, NCH
+                fuse_win = (wplan.src_windows * NCH * 4096
+                            <= WHOLE_X_LIMIT_BYTES)
+            if fuse_win and window_flux.padded == window_flux.padded_in:
                 from ..pallas.flux_window import PallasWindowFusedStage
                 window_fused = PallasWindowFusedStage(
                     window_flux, bdn, wln, wlc, dtype=dtype)
@@ -414,6 +423,28 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                                          node_map=win_node_map,
                                          num_coarse_pad=coarse_pad))
                 interp = jax.default_backend() == "cpu"
+                if "cplan" in pwb:
+                    # composed operator: wavg = CPLAN(rc) in one
+                    # cross-space kernel (prep/window.py docstring) —
+                    # replaces the parent-gather + B1 two-kernel chain
+                    # and the materialized G intermediate
+                    ck = PallasWindowFlux(pwb["cplan"], fine.num_nodes,
+                                          dtype=dtype, interpret=interp,
+                                          mode="wsum")
+                    Ppad = ck.padded
+                    nfi = fine.num_nodes
+                    dlevels[i].prolong_window = {
+                        "composed_kernel": ck,
+                        "composed_arrays": ck.arrays,
+                        "live": put(np.concatenate(
+                            [np.ones(nfi), np.zeros(Ppad - nfi)])),
+                        "cspill_fine": put(pwb["cspill_fine"],
+                                           jnp.int32),
+                        "cspill_coarse": put(pwb["cspill_coarse"],
+                                             jnp.int32),
+                        "cspill_w": put(pwb["cspill_w"]),
+                    }
+                    continue
                 wk = PallasWindowFlux(pwb["plan"], fine.num_nodes,
                                       dtype=dtype, interpret=interp,
                                       mode="wsum")
@@ -439,20 +470,6 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                     "spill_b2": put(pwb["spill_b2"], jnp.int32),
                     "spill_B1": put(pwb["spill_B1"]),
                 }
-                if "pplan" in pwb:
-                    # parent gather rides the wsum kernel too (the XLA
-                    # minor-axis gather ran at 35 GB/s — xprof)
-                    pk = PallasWindowFlux(pwb["pplan"], fine.num_nodes,
-                                          dtype=dtype, interpret=interp,
-                                          mode="wsum")
-                    dlevels[i].prolong_window.update({
-                        "parent_kernel": pk,
-                        "parent_arrays": pk.arrays,
-                        "pspill_fine": put(pwb["pspill_fine"],
-                                           jnp.int32),
-                        "pspill_parent": put(pwb["pspill_parent"],
-                                             jnp.int32),
-                    })
 
     ff_q, ff_flux = far_field_state(np.float64)
     return DeviceMesh(levels=dlevels, variant=mesh.variant,
@@ -788,26 +805,30 @@ def apply_restrict_padded(fine: DeviceLevel, coarse: DeviceLevel,
 def apply_prolong_padded(fine: DeviceLevel, coarse: DeviceLevel,
                          res_c, res_f, vars_f, tstate: bool):
     """Prolong on FULL (possibly lane-padded) state arrays. Prefers the
-    windowed formulation (prep/window.build_prolong_window): one
-    parent lane-gather + dense node-local terms + the wsum kernel; tail
-    lanes are masked by `live` so the padding is untouched. Falls back
-    to apply_prolong on real-width views + lane_writeback."""
+    COMPOSED windowed formulation (prep/window.build_prolong_window
+    with num_coarse_pad): one cross-space wsum kernel computes wavg
+    directly from the coarse residuals. Older dicts without a composed
+    plan use the parent lane-gather + dense node-local terms + the
+    fine-space wsum kernel. Tail lanes are masked by `live` so the
+    padding is untouched. Falls back to apply_prolong on real-width
+    views + lane_writeback."""
     pw = fine.prolong_window
     structured = (fine.prolong_shift_tables is not None
                   and "structured" in fine.prolong_shift_tables)
     if tstate and pw is not None and not structured:
-        pk = pw.get("parent_kernel")
-        if pk is not None:
-            # G = rc[parent] through the cross-space wsum kernel (the
-            # jnp minor-axis gather lowers to a 35 GB/s HLO gather)
-            G = pk(res_c, arrays=pw["parent_arrays"])
-            if pw["pspill_fine"].shape[0]:
+        ck = pw.get("composed_kernel")
+        if ck is not None:
+            # ONE cross-space kernel: wavg directly from the coarse
+            # residuals (inv_wsum + coincident folded into the weights —
+            # prep/window.build_prolong_window docstring)
+            wavg = ck(res_c, arrays=pw["composed_arrays"])
+            if pw["cspill_fine"].shape[0]:
                 from ..ops import tops
-                vals = res_c[:, pw["pspill_parent"]]
-                G = G + tops.t_segment_accumulate(vals, pw["pspill_fine"],
-                                                  G.shape[1])
-        else:
-            G = res_c[:, pw["parent"]]               # (5, P) lane gather
+                vals = pw["cspill_w"][None] * res_c[:, pw["cspill_coarse"]]
+                wavg = wavg + tops.t_segment_accumulate(
+                    vals, pw["cspill_fine"], wavg.shape[1])
+            return vars_f + pw["live"][None] * (res_f - wavg)
+        G = res_c[:, pw["parent"]]                   # (5, P) lane gather
         acc = pw["dense_local"][None] * G \
             + pw["kernel"](G, arrays=pw["arrays"])
         sa2 = pw["spill_a2"]

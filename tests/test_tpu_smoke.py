@@ -87,4 +87,16 @@ s2.run(cycles=2)
 np.testing.assert_allclose(s2.variables(0), r.variables(0),
                            rtol=5e-5, atol=1e-7)
 print("window interleave smoke ok")
+# depth-bucketed dispatch + fused window stage under Mosaic: zero
+# launch cost makes the DP split at every distinct depth, so the
+# multi-pallas_call alias path lowers and must agree too
+import mgcfd_tpu.pallas.flux_window as FW
+FW.LAUNCH_COST_WL = 0
+s3 = MGCFDSolver(mesh, SolverConfig(dtype="float32", accumulate="window",
+                                    fuse_window_stage=True))
+wf3 = s3.dmesh.levels[0].window_flux
+s3.run(cycles=2)
+np.testing.assert_allclose(s3.variables(0), r.variables(0),
+                           rtol=5e-5, atol=1e-7)
+print("window fused+bucketed smoke ok, buckets:", wf3.buckets)
 """)

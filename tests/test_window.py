@@ -168,11 +168,13 @@ def test_prolong_plan_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(d1["coincident"], d2["coincident"])
 
 
-def test_parent_gather_plan_exact():
-    """The cross-space parent plan (build_prolong_window num_coarse_pad)
-    must reproduce G = rc[mapping] EXACTLY through the wsum kernel
-    (weight-1.0 halves): the prolong's coincident nodes take G verbatim,
-    so approximate equality is not enough."""
+def test_composed_prolong_plan():
+    """The composed cross-space plan (build_prolong_window with
+    num_coarse_pad) must reproduce the full interpolation average wavg
+    from the coarse residuals in one kernel: EXACTLY on coincident
+    nodes (which reduce to a single weight-1.0 parent half and take
+    G = rc[mapping] verbatim, so approximate equality is not enough
+    there), and to summation-reordering rounding elsewhere."""
     from mgcfd_tpu.mesh.unstructured import generate_unstructured_hierarchy
     from mgcfd_tpu.prep.renumber import renumber_hierarchy
     from mgcfd_tpu.prep import window as W
@@ -184,19 +186,92 @@ def test_parent_gather_plan_exact():
     cp = -(-coarse.num_nodes // WIN) * WIN
     d = W.build_prolong_window(fine, coarse, num_fine_pad=fp,
                                num_coarse_pad=cp)
-    assert "pplan" in d
-    pk = PallasWindowFlux(d["pplan"], fine.num_nodes, dtype=jnp.float64,
+    assert "cplan" in d and "plan" not in d
+    ck = PallasWindowFlux(d["cplan"], fine.num_nodes, dtype=jnp.float64,
                           interpret=True, mode="wsum")
     rng = np.random.default_rng(7)
     rc = jnp.asarray(rng.standard_normal((5, cp)))
-    G = np.asarray(pk(rc))
-    # spilled fine nodes enter via the indexed stream, additively
-    if d["pspill_fine"].shape[0]:
-        np.add.at(G.T, d["pspill_fine"],
-                  np.asarray(rc).T[d["pspill_parent"]])
-    want = np.asarray(rc)[:, fine.mg_mapping]
-    np.testing.assert_array_equal(G[:, :fine.num_nodes], want)
-    assert not np.any(G[:, fine.num_nodes:])
+    wavg = np.asarray(ck(rc))
+    # spilled halves enter via the indexed stream, additively
+    if d["cspill_fine"].shape[0]:
+        np.add.at(wavg.T, d["cspill_fine"],
+                  d["cspill_w"][:, None]
+                  * np.asarray(rc).T[d["cspill_coarse"]])
+    # oracle: the uncomposed two-stage formulation on the same mesh
+    du = W.build_prolong_window(fine, coarse)
+    G = np.asarray(rc)[:, fine.mg_mapping]
+    n = fine.num_nodes
+    wk = PallasWindowFlux(du["plan"], n, dtype=jnp.float64,
+                          interpret=True, mode="wsum")
+    Gp = np.zeros((5, wk.padded_in))
+    Gp[:, :n] = G
+    acc = (du["dense_local"][None] * G
+           + np.asarray(wk(jnp.asarray(Gp)))[:, :n])
+    np.add.at(acc.T, du["spill_a2"],
+              du["spill_B1"][:, None] * G.T[du["spill_b2"]])
+    inv = 1.0 / np.where(du["wsum"] > 0, du["wsum"], 1.0)
+    want = np.where(du["coincident"][None], G, acc * inv[None])
+    co = du["coincident"]
+    np.testing.assert_array_equal(wavg[:, :n][:, co], want[:, co])
+    np.testing.assert_allclose(wavg[:, :n], want, rtol=1e-12, atol=1e-13)
+    assert not np.any(wavg[:, fine.num_nodes:])
+
+
+def test_depth_bucketed_dispatch_matches():
+    """Depth-bucketed dispatch (one pallas_call per depth bucket, later
+    buckets aliasing the partial output) must equal the single full-grid
+    dispatch bitwise. Interpret mode never buckets by default (the CPU
+    CI keeps the fori_loop), so force a 2-way split by hand."""
+    import mgcfd_tpu.pallas.flux_window as FW
+    from mgcfd_tpu.mesh.unstructured import generate_unstructured_mesh
+    from mgcfd_tpu.prep.window import build_window_plan
+
+    lvl = generate_unstructured_mesh(16, 16, 14, seed=0)
+    plan = build_window_plan(lvl)
+    assert plan.n_win >= 2
+    N, P = lvl.num_nodes, plan.padded_nodes
+    rng = np.random.default_rng(1)
+    ffq, _ = far_field_state(np.float64)
+    q = np.tile(ffq[:, None], (1, P))
+    q[:, :N] *= (1 + 0.05 * rng.standard_normal((5, N)))
+    q = jnp.asarray(q)
+
+    single = FW.PallasWindowFlux(plan, N, dtype=q.dtype, interpret=True,
+                                 bucket=False)
+    want = np.asarray(single(q))
+    order, _ = FW._depth_buckets(plan.layer_count)
+    d = np.asarray(plan.layer_count)[np.asarray(order)]
+    h = plan.n_win // 2
+    for mode in ("flux", "rw"):
+        k = FW.PallasWindowFlux(plan, N, dtype=q.dtype, interpret=True,
+                                mode=mode, bucket=False)
+        ref = np.asarray(k(q))
+        k.buckets = [(0, h, int(d[h - 1])), (h, plan.n_win - h,
+                                             int(d[-1]))]
+        k.wmap_dev = jnp.asarray(order, jnp.int32)
+        np.testing.assert_array_equal(np.asarray(k(q)), ref)
+    del want
+
+
+def test_depth_buckets_dp():
+    """_depth_buckets: exact DP properties — covers all windows exactly
+    once, bucket l_max dominates its members, deep tails split off."""
+    from mgcfd_tpu.pallas.flux_window import _depth_buckets
+
+    lc = np.asarray([25] * 280 + [28] * 12 + [44] * 2)
+    order, buckets = _depth_buckets(lc)
+    assert sorted(np.asarray(order).tolist()) == list(range(len(lc)))
+    total = 0
+    d = lc[np.asarray(order)]
+    for s, c, lm in buckets:
+        assert c > 0 and lm == d[s + c - 1] == d[s:s + c].max()
+        total += c
+    assert total == len(lc)
+    # the 44-deep tail must not tax the 280 shallow windows
+    assert buckets[0][2] <= 28
+    # uniform depths -> one bucket
+    _, b1 = _depth_buckets(np.full(300, 25))
+    assert len(b1) == 1
 
 
 def test_element_blocked_path_matches(tet_level, plan, monkeypatch):
