@@ -95,7 +95,8 @@ def _tet_metrics():
     import os
     import pickle
     out = {"tet_flux_edges_per_sec": None, "tet_vcycle_wall_time_sec": None,
-           "tet_flux_vs_cpu": None, "tet_vcycle_vs_cpu": None}
+           "tet_flux_vs_cpu": None, "tet_vcycle_vs_cpu": None,
+           "tet_vcycle_marginal_sec": None, "tet_vcycle_marginal_vs_cpu": None}
     try:
         import jax.numpy as jnp
         cache = ".golden/benchtet/mesh.pkl"
@@ -138,16 +139,31 @@ def _tet_metrics():
         out["tet_flux_vs_cpu"] = round(E / dt
                                        / CPU_TET_FLUX_EDGES_PER_SEC, 3)
 
-        s.run_batched(50, 50)            # compile + warm
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            s.run_batched(50, 50)
-            import numpy as _np
-            _np.asarray(s.state["variables"][0].ravel()[:8])
-            best = min(best, (time.perf_counter() - t0) / 50)
+        import numpy as _np
+
+        def batch_time(K):
+            s.run_batched(K, K)          # compile + warm this K
+            b = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                s.run_batched(K, K)
+                _np.asarray(s.state["variables"][0].ravel()[:8])
+                b = min(b, time.perf_counter() - t0)
+            return b
+
+        t25, t50, t100 = batch_time(25), batch_time(50), batch_time(100)
+        best = t50 / 50
         out["tet_vcycle_wall_time_sec"] = round(best, 6)
         out["tet_vcycle_vs_cpu"] = round(CPU_TET_VCYCLE_SEC / best, 3)
+        # MARGINAL per-cycle cost (sustained throughput): the K-batch
+        # slope cancels the fixed per-dispatch tunnel overhead (~93 ms
+        # through axon — a K=25/50/100 fit matches xprof device busy
+        # exactly; BASELINE.md). The K=50 wall number above is kept for
+        # round-over-round comparability.
+        marg = (t100 - t25) / 75
+        out["tet_vcycle_marginal_sec"] = round(marg, 6)
+        out["tet_vcycle_marginal_vs_cpu"] = round(
+            CPU_TET_VCYCLE_SEC / marg, 3)
     except Exception as e:  # the secondary metric must not kill the bench
         import sys
         print(f"bench: tet metrics failed: {type(e).__name__}: {e}",
@@ -257,6 +273,31 @@ def main():
         cycle_times[mode] = best
     cycle_time = min(cycle_times.values())
 
+    # marginal per-cycle cost of the winning mode (sustained rate): the
+    # K-batch slope cancels the fixed per-dispatch tunnel overhead and
+    # matches xprof device busy (BASELINE.md); K=50 wall stays the
+    # comparable headline
+    vcycle_marginal = None
+    try:
+        bm = min(cycle_times, key=cycle_times.get)
+        sb = solvers[bm]
+        times = {}
+        for K in (25, 100):
+            sb.run_batched(K, K)
+            b = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                sb.run_batched(K, K)
+                import numpy as _np
+                _np.asarray(sb.state["variables"][0].ravel()[:8])
+                b = min(b, time.perf_counter() - t0)
+            times[K] = b
+        vcycle_marginal = (times[100] - times[25]) / 75
+    except Exception as e:
+        import sys
+        print(f"bench: marginal metric failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+
     # secondary like-for-like number: the faithful indirect_rw twin ON
     # (same slicing traffic, near-zero flops) vs the CPU total WITH rw
     rw_cycle_time = None
@@ -293,6 +334,11 @@ def main():
         "vcycle_wall_time_sec": round(cycle_time, 6),
         "vcycle_vs_baseline": round(CPU_BASELINE_VCYCLE_SEC / cycle_time,
                                     3),
+        "vcycle_marginal_sec": (None if vcycle_marginal is None
+                                else round(vcycle_marginal, 6)),
+        "vcycle_marginal_vs_baseline": (
+            None if vcycle_marginal is None
+            else round(CPU_BASELINE_VCYCLE_SEC / vcycle_marginal, 3)),
         "vcycle_per_mode_sec": {k: round(v, 6)
                                 for k, v in cycle_times.items()},
         "vcycle_with_rw_twin_sec": (None if rw_cycle_time is None

@@ -52,9 +52,13 @@ NCH = 8  # rho, mx, my, mz, E, p, s(=speed+sos), inv_rho
 WHOLE_X_LIMIT_BYTES = 24 * 2 ** 20
 
 # One extra pallas launch priced in window-layers for the depth-bucket
-# DP (below): a launch gap is ~30-70 us against ~0.15 us per
-# window-layer of kernel body (tet flagship, BASELINE.md).
-LAUNCH_COST_WL = 400
+# DP (below). Measured on the axon v5e: back-to-back pallas launches
+# inside one dispatch are ~free (a 32-launch chain times the same as 1;
+# the once-feared "launch gap" was fixed PER-DISPATCH tunnel overhead),
+# so this mostly guards against splitting off slivers whose extra
+# compile time and plan-block DMA latency outweigh ~15 us of saved
+# work (~0.15 us per window-layer, tet flagship).
+LAUNCH_COST_WL = 100
 
 
 def _depth_buckets(layer_count, max_buckets: int = 4):
