@@ -435,13 +435,17 @@ class PallasWindowFusedStage:
         else:
             # depth-bucketed like PallasWindowFlux._dispatch: each
             # bucket statically unrolls to ITS depth and aliases the
-            # partial output; per-bucket invalid counts sum
+            # partial output; per-bucket invalid counts sum. bs: the
+            # element x map must be a single scalar read (see
+            # PallasWindowFlux.__call__).
+            bs = (None if whole_x
+                  else jnp.take(arrays["base"], base.wmap_dev))
             out = None
             invalid = jnp.int32(0)
             for bstart, bcount, blmax in buckets:
                 out, inv = self._stage_dispatch(
                     Xw, arrays, old_w, fac_w, spill_w, q.dtype, nch, nw,
-                    whole_x, linear, bstart, bcount, blmax, out)
+                    whole_x, linear, bstart, bcount, blmax, out, bs)
                 invalid = invalid + inv[0, 0]
         if linear:
             qnew = out.reshape(5, self.padded)
@@ -451,44 +455,62 @@ class PallasWindowFusedStage:
 
     def _stage_dispatch(self, Xw, arrays, old_w, fac_w, spill_w, qdtype,
                         nch, nw, whole_x, linear, start, count, l_max_b,
-                        prev):
+                        prev, bs=None):
         """One fused-stage pallas_call over `count` windows unrolled to
         l_max_b layers (start=None: plain full grid; else the depth
-        bucket wmap[start:start+count] with `prev` aliased — see
-        PallasWindowFlux._dispatch)."""
+        bucket wmap[start:start+count] with `prev` aliased and bs the
+        depth-sorted base offsets — see PallasWindowFlux._dispatch)."""
         base = self.base
         plan = base.plan
         S = plan.n_src
         have_spill = spill_w is not None
         bucketed = start is not None
+        use_bs = bucketed and not whole_x
         kern = functools.partial(_window_fused_kernel, S, l_max_b, nch,
                                  nw, not whole_x, linear,
                                  not self.interpret, have_spill, start)
 
-        def body(*refs):
-            kern(refs)
+        if use_bs:
+            assert bs is not None
+
+            def body(bs_ref, *refs):
+                kern(refs)
+        else:
+            def body(*refs):
+                kern(refs)
 
         if bucketed:
-            def widx(w, base_r, nl, own, wmap):
-                return wmap[start + w]
+            def widx(w, *sc):
+                return sc[-1][start + w]    # wmap is the last scalar
         else:
             def widx(w, *_):
                 return w
 
         if whole_x:
             x_spec = pl.BlockSpec(Xw.shape, lambda w, *_: (0, 0, 0, 0))
+        elif use_bs:
+            # single scalar read in the pl.Element map (see
+            # PallasWindowFlux.__call__)
+            if linear:
+                x_spec = pl.BlockSpec(
+                    (pl.Element(nch), pl.Element(plan.kw), pl.Element(8),
+                     pl.Element(128)),
+                    lambda w, bs_r, *sc: (0, bs_r[start + w], 0, 0))
+            else:
+                x_spec = pl.BlockSpec(
+                    (pl.Element(plan.kw), pl.Element(nch), pl.Element(8),
+                     pl.Element(128)),
+                    lambda w, bs_r, *sc: (bs_r[start + w], 0, 0, 0))
         elif linear:
             x_spec = pl.BlockSpec(
                 (pl.Element(nch), pl.Element(plan.kw), pl.Element(8),
                  pl.Element(128)),
-                lambda w, base_r, *sc: (0, base_r[widx(w, base_r, *sc)],
-                                        0, 0))
+                lambda w, base_r, *sc: (0, base_r[w], 0, 0))
         else:
             x_spec = pl.BlockSpec(
                 (pl.Element(plan.kw), pl.Element(nch), pl.Element(8),
                  pl.Element(128)),
-                lambda w, base_r, *sc: (base_r[widx(w, base_r, *sc)],
-                                        0, 0, 0))
+                lambda w, base_r, *sc: (base_r[w], 0, 0, 0))
 
         def tspec(rows):
             if linear:
@@ -522,6 +544,9 @@ class PallasWindowFusedStage:
         if bucketed:
             args.append(base.wmap_dev)
             nsp = 4
+        if use_bs:
+            args.insert(0, bs)
+            nsp = 5
         args += [Xw, arrays["lwins"], arrays["wsel"], arrays["ci"],
                  arrays["rs"], arrays["w4"], self.nc, old_w, fac_w]
         if have_spill:
@@ -651,48 +676,76 @@ class PallasWindowFlux:
         else:
             # depth-bucketed: one dispatch per bucket, each statically
             # unrolled only to ITS depth; later buckets alias the
-            # partial output (disjoint window sets)
+            # partial output (disjoint window sets). Element-blocked X
+            # needs the depth-SORTED base offsets (one tiny in-jit
+            # gather): the pl.Element index map must be a SINGLE scalar
+            # read — base[wmap[start+w]] deterministically aborts the
+            # chip for high-offset window pairs (capacity-scale 8M-edge
+            # mesh, .golden/bigwin_bisect3.py), bs[start+w] does not.
+            bs = (None if whole_x
+                  else jnp.take(arrays["base"], self.wmap_dev))
             out = None
             for bstart, bcount, blmax in self.buckets:
                 out = self._dispatch(Xw, arrays, nch, math, nw, whole_x,
-                                     linear, bstart, bcount, blmax, out)
+                                     linear, bstart, bcount, blmax, out,
+                                     bs)
         if linear:
             return out.reshape(5, P)
         return out.transpose(1, 0, 3, 2).reshape(5, P)
 
     def _dispatch(self, Xw, arrays, nch, math, nw, whole_x, linear,
-                  start, count, l_max_b, prev):
+                  start, count, l_max_b, prev, bs=None):
         """One pallas_call over `count` windows unrolled to l_max_b
         layers. start=None: the plain full-grid dispatch. start=int:
         windows wmap[start:start+count] of the depth-sorted order, with
         `prev` (the previous bucket's partial output) aliased to the
-        output so untouched windows keep their values."""
+        output so untouched windows keep their values; bs = the
+        depth-sorted base offsets (base[wmap]) — required when
+        element-blocked, see __call__."""
         plan = self.plan
         S = plan.n_src
         bucketed = start is not None
+        use_bs = bucketed and not whole_x
         kernel = functools.partial(_window_kernel, S, l_max_b, nch,
                                    math, nw, not whole_x, linear,
                                    not self.interpret, start)
+        if use_bs:
+            assert bs is not None
+            body = lambda bs_ref, *refs: kernel(*refs)  # noqa: E731
+        else:
+            body = kernel
 
         if bucketed:
-            def widx(w, base, nl, own, wmap):
-                return wmap[start + w]
+            def widx(w, *sc):
+                return sc[-1][start + w]    # wmap is the last scalar
         else:
             def widx(w, *_):
                 return w
 
         if whole_x:
             x_spec = pl.BlockSpec(Xw.shape, lambda w, *_: (0, 0, 0, 0))
+        elif use_bs:
+            # single scalar read in the pl.Element map (see __call__)
+            if linear:
+                x_spec = pl.BlockSpec(
+                    (pl.Element(nch), pl.Element(plan.kw), pl.Element(8),
+                     pl.Element(128)),
+                    lambda w, bs_r, *sc: (0, bs_r[start + w], 0, 0))
+            else:
+                x_spec = pl.BlockSpec(
+                    (pl.Element(plan.kw), pl.Element(nch), pl.Element(8),
+                     pl.Element(128)),
+                    lambda w, bs_r, *sc: (bs_r[start + w], 0, 0, 0))
         elif linear:
             x_spec = pl.BlockSpec(
                 (pl.Element(nch), pl.Element(plan.kw), pl.Element(8),
                  pl.Element(128)),
-                lambda w, base, *sc: (0, base[widx(w, base, *sc)], 0, 0))
+                lambda w, base, *sc: (0, base[w], 0, 0))
         else:
             x_spec = pl.BlockSpec(
                 (pl.Element(plan.kw), pl.Element(nch), pl.Element(8),
                  pl.Element(128)),
-                lambda w, base, *sc: (base[widx(w, base, *sc)], 0, 0, 0))
+                lambda w, base, *sc: (base[w], 0, 0, 0))
         if linear:
             out_spec = pl.BlockSpec(
                 (5, 1, 8, 128), lambda w, *sc: (0, widx(w, *sc), 0, 0))
@@ -724,6 +777,9 @@ class PallasWindowFlux:
         if bucketed:
             args.append(self.wmap_dev)
             nsp = 4
+        if use_bs:
+            args.insert(0, bs)
+            nsp = 5
         args += [Xw, arrays["lwins"], arrays["wsel"], arrays["ci"],
                  arrays["rs"], arrays["w4"]]
         aliases = {}
@@ -733,7 +789,7 @@ class PallasWindowFlux:
             args.append(prev)
             aliases = {len(args) - 1: 0}
         return pl.pallas_call(
-            kernel,
+            body,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=nsp,
                 grid=(count,),

@@ -217,15 +217,21 @@ def test_composed_prolong_plan():
     assert not np.any(wavg[:, fine.num_nodes:])
 
 
-def test_depth_bucketed_dispatch_matches():
+@pytest.mark.parametrize("element_blocked", [False, True])
+def test_depth_bucketed_dispatch_matches(element_blocked, monkeypatch):
     """Depth-bucketed dispatch (one pallas_call per depth bucket, later
     buckets aliasing the partial output) must equal the single full-grid
     dispatch bitwise. Interpret mode never buckets by default (the CPU
-    CI keeps the fori_loop), so force a 2-way split by hand."""
+    CI keeps the fori_loop), so force a 2-way split by hand. The
+    element_blocked variant covers the depth-sorted-base single-scalar-
+    read x map (bs[start+w]) that the capacity-scale Mosaic abort
+    forced (.golden/bigwin_bisect3.py)."""
     import mgcfd_tpu.pallas.flux_window as FW
     from mgcfd_tpu.mesh.unstructured import generate_unstructured_mesh
     from mgcfd_tpu.prep.window import build_window_plan
 
+    if element_blocked:
+        monkeypatch.setattr(FW, "WHOLE_X_LIMIT_BYTES", 0)
     lvl = generate_unstructured_mesh(16, 16, 14, seed=0)
     plan = build_window_plan(lvl)
     assert plan.n_win >= 2
