@@ -49,7 +49,13 @@ NCH = 8  # rho, mx, my, mz, E, p, s(=speed+sos), inv_rho
 # Above this X-array footprint the kernel switches from whole-array VMEM
 # residency to pl.Element kw-wide neighborhood blocks (see __call__);
 # module-level so tests can force the blocked path on small meshes.
-WHOLE_X_LIMIT_BYTES = 24 * 2 ** 20
+# 40 MB (was 24) since _compiler_params lifted the scoped-VMEM ceiling:
+# the 8.23M-edge tet capacity mesh (33.3 MB of channel windows) now
+# stays whole-X resident, which re-enables the fused RK stage there —
+# measured 36.9 -> 35.8 ms/cycle same-session. The kernel itself times
+# identically in both modes (the Element-block DMA is fully hidden
+# behind the gather-issue-bound body; xprof 26.1 ms/cycle either way).
+WHOLE_X_LIMIT_BYTES = 40 * 2 ** 20
 
 # One extra pallas launch priced in window-layers for the depth-bucket
 # DP (below). Measured on the axon v5e: back-to-back pallas launches
@@ -59,6 +65,16 @@ WHOLE_X_LIMIT_BYTES = 24 * 2 ** 20
 # compile time and plan-block DMA latency outweigh ~15 us of saved
 # work (~0.15 us per window-layer, tet flagship).
 LAUNCH_COST_WL = 100
+
+
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM ceiling above the conservative 16 MB
+    default (the flux_shift._compiler_params twin): whole-X residency at
+    capacity scale (e.g. the 8.23M-edge tet hierarchy's 33.3 MB channel
+    windows) is a scoped allocation and OOMs at compile under the
+    default ('Scoped allocation with size 34.87M and limit 16.00M'),
+    well within the v5e's physical VMEM."""
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20)
 
 
 def _depth_buckets(layer_count, max_buckets: int = 4):
@@ -578,6 +594,7 @@ class PallasWindowFusedStage:
             ),
             input_output_aliases=aliases,
             interpret=self.interpret,
+            compiler_params=None if self.interpret else _compiler_params(),
         )(*args)
 
 
@@ -799,4 +816,5 @@ class PallasWindowFlux:
             out_shape=out_shape,
             input_output_aliases=aliases,
             interpret=self.interpret,
+            compiler_params=None if self.interpret else _compiler_params(),
         )(*args)
