@@ -413,7 +413,40 @@ def build_prolong_shift(fine_coords, coarse_coords, mapping,
     sg = build_prolong_tables(fine_coords, coarse_coords, mapping,
                               edge_a[spill], edge_b[spill]) \
         if spill.size else None
+
+    # Collapsed, slice-update-free runtime tables. acc[i] receives
+    # A1_d[i]*G[i] (i<n-d), B1_d[i]*G[i+d] (i<n-d) and BS_d[i-d]*G[i]
+    # (i>=d): the A1 and BS diagonals multiply G at the OUTPUT index, so
+    # they merge across all deltas into ONE dense vector C; only the B1
+    # terms need shifted reads of G (right-padded, which fuses under an
+    # add root — no .at[slice].add dynamic-update-slice/scatter chain,
+    # which xprof measured at ~3 ms/cycle on the 7.26M-edge capacity
+    # box). wsum is data-independent and folds to a constant here,
+    # including the spill edges' weights.
+    C = np.zeros(n)
+    wsum0 = np.zeros(n)
+    b1_deltas = []
+    for d, A1, B1, BS, WA, WB in per_delta:
+        C[:n - d] += A1
+        C[d:] += BS
+        wsum0[:n - d] += WA
+        wsum0[d:] += WB
+        b1_deltas.append((d, B1))
+    if sg is not None:
+        np.add.at(wsum0, edge_a[spill], sg["id_a1a2"] + sg["id_b1a2"])
+        np.add.at(wsum0, edge_b[spill], sg["id_b1b2"] + sg["id_a1b2"])
+    # Coincident fine nodes take wavg = G directly; every neighbor
+    # weight is already zero there (the la/lb live factors above), so
+    # folding cdiag=1, winv=1 at those rows turns the runtime
+    # `where(coincident, G, acc/safe)` select + divide into one
+    # multiply: wavg = acc * winv.
+    with np.errstate(divide="ignore"):
+        winv = np.where(wsum0 > 0, 1.0 / np.where(wsum0 > 0, wsum0, 1.0),
+                        1.0)
+    winv[coincident] = 1.0
+    C[coincident] = 1.0
     return {"per_delta": per_delta, "spill": sg,
+            "cdiag": C, "b1_deltas": b1_deltas, "winv": winv,
             "coincident": coincident, "parent": mapping.astype(np.int32)}
 
 
@@ -421,24 +454,37 @@ def prolong_shift(res_coarse, res_fine, vars_fine, t, transposed=False):
     """Runtime of build_prolong_shift. When `transposed`, res_fine and
     vars_fine are (5, N) and the result is (5, N); res_coarse is always
     node-major (coarse levels are small)."""
+    collapsed = "cdiag" in t   # slice-update-free formulation (see
+    #                            build_prolong_shift; legacy dicts keep
+    #                            the per-delta slice-add loop)
     if transposed:
         if "structured" in t:
             G = t_structured_upsample(res_coarse, *t["structured"])
         else:
             G = res_coarse[t["parent"]].T       # the ONE gather, (5, N)
         n = vars_fine.shape[1]
-        acc = jnp.zeros_like(vars_fine)
-        wsum = jnp.zeros((n,), vars_fine.dtype)
-        for d, A1, B1, BS, WA, WB in t["per_delta"]:
-            ga, gb = G[:, :n - d], G[:, d:]
-            acc = acc.at[:, :n - d].add(A1[None] * ga + B1[None] * gb)
-            acc = acc.at[:, d:].add(BS[None] * gb)
-            wsum = wsum.at[:n - d].add(WA)
-            wsum = wsum.at[d:].add(WB)
-        if t["spill"] is not None:
-            sp = _prolong_spill(res_coarse, t["spill"])
-            acc = acc + sp[0].T
-            wsum = wsum + sp[1]
+        if collapsed:
+            zero = jnp.zeros((), G.dtype)
+            acc = t["cdiag"][None] * G
+            for d, B1 in t["b1_deltas"]:
+                acc = acc + jax.lax.pad(B1[None] * G[:, d:], zero,
+                                        ((0, 0, 0), (0, d, 0)))
+            if t["spill"] is not None:
+                acc = acc + _prolong_spill(res_coarse, t["spill"])[0].T
+            return vars_fine + (res_fine - acc * t["winv"][None])
+        else:
+            acc = jnp.zeros_like(vars_fine)
+            wsum = jnp.zeros((n,), vars_fine.dtype)
+            for d, A1, B1, BS, WA, WB in t["per_delta"]:
+                ga, gb = G[:, :n - d], G[:, d:]
+                acc = acc.at[:, :n - d].add(A1[None] * ga + B1[None] * gb)
+                acc = acc.at[:, d:].add(BS[None] * gb)
+                wsum = wsum.at[:n - d].add(WA)
+                wsum = wsum.at[d:].add(WB)
+            if t["spill"] is not None:
+                sp = _prolong_spill(res_coarse, t["spill"])
+                acc = acc + sp[0].T
+                wsum = wsum + sp[1]
         safe = jnp.where(wsum > 0, wsum, jnp.ones_like(wsum))
         wavg = jnp.where(t["coincident"][None, :], G, acc / safe[None])
         return vars_fine + (res_fine - wavg)
@@ -447,18 +493,28 @@ def prolong_shift(res_coarse, res_fine, vars_fine, t, transposed=False):
     else:
         G = res_coarse[t["parent"]]             # (N, 5) — the ONE gather
     n = vars_fine.shape[0]
-    acc = jnp.zeros_like(vars_fine)
-    wsum = jnp.zeros((n,), vars_fine.dtype)
-    for d, A1, B1, BS, WA, WB in t["per_delta"]:
-        ga, gb = G[:n - d], G[d:]
-        acc = acc.at[:n - d].add(A1[:, None] * ga + B1[:, None] * gb)
-        acc = acc.at[d:].add(BS[:, None] * gb)
-        wsum = wsum.at[:n - d].add(WA)
-        wsum = wsum.at[d:].add(WB)
-    if t["spill"] is not None:
-        sp = _prolong_spill(res_coarse, t["spill"])
-        acc = acc + sp[0]
-        wsum = wsum + sp[1]
+    if collapsed:
+        zero = jnp.zeros((), G.dtype)
+        acc = t["cdiag"][:, None] * G
+        for d, B1 in t["b1_deltas"]:
+            acc = acc + jax.lax.pad(B1[:, None] * G[d:], zero,
+                                    ((0, d, 0), (0, 0, 0)))
+        if t["spill"] is not None:
+            acc = acc + _prolong_spill(res_coarse, t["spill"])[0]
+        return vars_fine + (res_fine - acc * t["winv"][:, None])
+    else:
+        acc = jnp.zeros_like(vars_fine)
+        wsum = jnp.zeros((n,), vars_fine.dtype)
+        for d, A1, B1, BS, WA, WB in t["per_delta"]:
+            ga, gb = G[:n - d], G[d:]
+            acc = acc.at[:n - d].add(A1[:, None] * ga + B1[:, None] * gb)
+            acc = acc.at[d:].add(BS[:, None] * gb)
+            wsum = wsum.at[:n - d].add(WA)
+            wsum = wsum.at[d:].add(WB)
+        if t["spill"] is not None:
+            sp = _prolong_spill(res_coarse, t["spill"])
+            acc = acc + sp[0]
+            wsum = wsum + sp[1]
     safe = jnp.where(wsum > 0, wsum, jnp.ones_like(wsum))
     wavg = jnp.where(t["coincident"][:, None], G, acc / safe[:, None])
     return vars_fine + (res_fine - wavg)

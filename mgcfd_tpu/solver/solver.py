@@ -343,6 +343,10 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                                   for d, *rest in ps["per_delta"]],
                     "spill": None if ps["spill"] is None
                     else {k: conv(v) for k, v in ps["spill"].items()},
+                    "cdiag": conv(ps["cdiag"]),
+                    "b1_deltas": [(d, conv(B1))
+                                  for d, B1 in ps["b1_deltas"]],
+                    "winv": conv(ps["winv"]),
                     "coincident": conv(ps["coincident"]),
                     "parent": conv(ps["parent"]),
                 }

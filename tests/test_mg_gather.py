@@ -92,16 +92,24 @@ def test_prolong_shift_matches_scatter():
                             for d, *rest in t["per_delta"]],
               "spill": None if t["spill"] is None else
               {k: jnp.asarray(v) for k, v in t["spill"].items()},
+              "cdiag": jnp.asarray(t["cdiag"]),
+              "b1_deltas": [(d, jnp.asarray(B1))
+                            for d, B1 in t["b1_deltas"]],
+              "winv": jnp.asarray(t["winv"]),
               "coincident": jnp.asarray(t["coincident"]),
               "parent": jnp.asarray(t["parent"])}
-        got = np.asarray(prolong_shift(jnp.asarray(rc), jnp.asarray(rf),
-                                       jnp.asarray(vf), tj))
-        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-14)
-        # transposed variant
-        got_t = np.asarray(prolong_shift(
-            jnp.asarray(rc), jnp.asarray(rf.T), jnp.asarray(vf.T), tj,
-            transposed=True)).T
-        np.testing.assert_allclose(got_t, want, rtol=1e-11, atol=1e-14)
+        legacy = dict(tj)
+        del legacy["cdiag"]   # the per-delta slice-add fallback path
+        for tbl in (tj, legacy):
+            got = np.asarray(prolong_shift(
+                jnp.asarray(rc), jnp.asarray(rf), jnp.asarray(vf), tbl))
+            np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-14)
+            # transposed variant
+            got_t = np.asarray(prolong_shift(
+                jnp.asarray(rc), jnp.asarray(rf.T), jnp.asarray(vf.T),
+                tbl, transposed=True)).T
+            np.testing.assert_allclose(got_t, want, rtol=1e-11,
+                                       atol=1e-14)
 
 
 def test_transposed_multigrid_solver_matches():
