@@ -26,10 +26,13 @@ All accumulation is dense adds into the owner-aligned (8,128) tile: the
 scatter side of the reference's loop (flux_loops.cpp:78-153) does not
 exist on this path at all.
 
-State channels (built densely per evaluation, mgcfd_tpu.ops.tops
-conventions): rho, mom_x, mom_y, mom_z, E, pressure, speed+sos, 1/rho —
-the last three precomputed so the kernel does no divisions or square
-roots per half-edge (TPU divides are Newton chains on the VPU).
+State channels: the 5 conserved variables (rho, mom, E) are gathered;
+the primitive channels (pressure, speed+sos, 1/rho) are completed
+IN-KERNEL per gathered side (_complete8). Gathering 8 precomputed
+channels was measured SLOWER (.golden/chan_probe.py: 1.29-1.38 vs
+1.23 ms/eval): the body is select+gather-issue-bound, so three fewer
+select+gather chains beat the added recip/sqrt Newton chains, and the
+operand X shrinks 8/5x.
 """
 from __future__ import annotations
 
@@ -41,10 +44,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.constants import SMOOTHING_COEFFICIENT
+from ..core.constants import GAMMA, SMOOTHING_COEFFICIENT
 from ..prep.window import WIN, WindowPlan
 
-NCH = 8  # rho, mx, my, mz, E, p, s(=speed+sos), inv_rho
+NCH = 5  # gathered channels: rho, mx, my, mz, E (primitives in-kernel)
 
 # Above this X-array footprint the kernel switches from whole-array VMEM
 # residency to pl.Element kw-wide neighborhood blocks (see __call__);
@@ -121,6 +124,25 @@ def _depth_buckets(layer_count, max_buckets: int = 4):
     return order, buckets
 
 
+def _complete8(q):
+    """Conserved (rho, mx, my, mz, E) -> full 8-channel tuple with the
+    primitives (p, speed+sos, 1/rho) recomputed in-kernel. Op order
+    mirrors ops.tops.t_primitives exactly (bitwise parity with the old
+    externally-built channel stack). Gathering 5 channels and
+    recomputing beats gathering 8: measured 1.23 vs 1.29-1.38 ms/eval
+    on the shape-faithful body bench (.golden/chan_probe.py) — the 3
+    dropped select+gather chains outweigh the recip + 2 sqrt chains —
+    and the channel-window X shrinks 8/5x (33.3 -> 20.8 MB at tet
+    capacity scale), extending whole-X VMEM residency."""
+    rho, mx, my, mz, E = q[:5]
+    inv = 1.0 / rho
+    vx, vy, vz = mx * inv, my * inv, mz * inv
+    speed_sqd = vx * vx + vy * vy + vz * vz
+    p = (GAMMA - 1.0) * (E - 0.5 * rho * speed_sqd)
+    s = jnp.sqrt(speed_sqd) + jnp.sqrt(GAMMA * p * inv)
+    return [rho, mx, my, mz, E, p, s, inv]
+
+
 def _flux_math(qo, qn, w0, w1, w2, wt):
     """Per-slot edge flux value (5 channels), owner-oriented.
     Mirrors ops.tops.t_internal_edge_flux on (8,128) tiles."""
@@ -162,14 +184,20 @@ def _wsum_math(qo, qn, w):
     return tuple(w[0] * cn for cn in qn)
 
 
-_MATH = {"flux": (8, lambda qo, qn, w: _flux_math(qo, qn, w[0], w[1],
-                                                  w[2], w[3])),
-         "rw": (8, _rw_math),
-         "wsum": (5, _wsum_math)}
+# flux gathers the 5 conserved channels and completes the primitive
+# channels in-kernel (_complete8); rw mirrors its gather traffic (and
+# the reference twin reads exactly the 5 flow vars —
+# indirect_rw_kernel.elemfunc.c). The (nch, math, complete) triple:
+# complete=True inserts _complete8 once per owner window and once per
+# gathered layer.
+_MATH = {"flux": (5, lambda qo, qn, w: _flux_math(qo, qn, w[0], w[1],
+                                                  w[2], w[3]), True),
+         "rw": (5, _rw_math, False),
+         "wsum": (5, _wsum_math, False)}
 
 
-def _window_kernel(S, l_max, nch, math, nw, local_x, linear, unroll,
-                   start, *refs):
+def _window_kernel(S, l_max, nch, math, complete, nw, local_x, linear,
+                   unroll, start, *refs):
     # refs (unbucketed, start=None):
     #   base_ref, nl_ref, own_ref,    scalar prefetch
     #   x_ref,                        (kw|n_win_src, nch, 8, 128)
@@ -212,6 +240,8 @@ def _window_kernel(S, l_max, nch, math, nw, local_x, linear, unroll,
         return x_ref[ch, off + win] if linear else x_ref[off + win, ch]
 
     qo = [up(xw(own_ref[w], ch)) for ch in range(nch)]
+    if complete:
+        qo = _complete8(qo)
 
     rw_gate = math is _rw_math
 
@@ -228,6 +258,8 @@ def _window_kernel(S, l_max, nch, math, nw, local_x, linear, unroll,
                               up(xw(lwins_ref[0, l, s], ch)), t)
             t1 = _take_i32(t, ci, axis=1)
             qn.append(_take_i32(t1, rs, axis=0))
+        if complete:
+            qn = _complete8(qn)
         vals = math(qo, qn, [up(w_ref[0, l, k]) for k in range(nw)])
         if rw_gate:
             # flux/wsum values vanish exactly on dead layers (zero
@@ -329,7 +361,7 @@ def _window_fused_kernel(S, l_max, nch, nw, local_x, linear, unroll,
     def tile(ref, k):
         return ref[k, 0] if linear else ref[0, k]
 
-    qo = [up(xw(own_ref[w], ch)) for ch in range(nch)]
+    qo = _complete8([up(xw(own_ref[w], ch)) for ch in range(nch)])
 
     def body(l, acc):
         sel = wsel_ref[0, l]
@@ -344,6 +376,7 @@ def _window_fused_kernel(S, l_max, nch, nw, local_x, linear, unroll,
                               up(xw(lwins_ref[0, l, s], ch)), t)
             t1 = _take_i32(t, ci, axis=1)
             qn.append(_take_i32(t1, rs, axis=0))
+        qn = _complete8(qn)
         ws = [up(w_ref[0, l, k]) for k in range(nw)]
         vals = _flux_math(qo, qn, ws[0], ws[1], ws[2], ws[3])
         return tuple(a + v for a, v in zip(acc, vals))
@@ -428,10 +461,10 @@ class PallasWindowFusedStage:
         plan = base.plan
         arrays = base.arrays if arrays is None else arrays
         assert q.shape[1] == self.padded
-        nch, _ = _MATH["flux"]
+        nch = _MATH["flux"][0]
         nw = plan.w4.shape[2]
         linear = bool(plan.linear_layout)
-        X = base._channels(q)
+        X = q
         if linear:
             Xw = X.reshape(nch, plan.src_windows, 8, 128)
         else:
@@ -646,28 +679,17 @@ class PallasWindowFlux:
             "w4": jnp.asarray(f(plan.w4), self.dtype),
         }
 
-    def _channels(self, q):
-        """(5, P) -> channel stack ((NCH, P) for flux/rw; raw for wsum)."""
-        if self.mode == "wsum":
-            return q
-        from ..ops import tops
-        prim = tops.t_primitives(q)
-        return jnp.stack([
-            q[0], q[1], q[2], q[3], q[4],
-            prim["pressure"],
-            prim["speed"] + prim["sos"],
-            1.0 / q[0],
-        ])
-
     def __call__(self, q, arrays=None):
         plan = self.plan
         P = self.padded
         arrays = self.arrays if arrays is None else arrays
         assert q.shape[1] == self.padded_in, (q.shape, self.padded_in)
-        nch, math = _MATH[self.mode]
+        nch, math, complete = _MATH[self.mode]
         nw = self.plan.w4.shape[2]
         linear = bool(plan.linear_layout)
-        X = self._channels(q)                          # (nch, Pin)
+        # all modes consume the raw (5, Pin) state — flux completes the
+        # primitive channels in-kernel (_complete8)
+        X = q
         if linear:
             # tile-interleaved mesh: the tile layout IS the memory
             # layout — operand and result are pure reshapes
@@ -687,9 +709,9 @@ class PallasWindowFlux:
         # so only when needed.
         whole_x = plan.src_windows * nch * 4096 <= WHOLE_X_LIMIT_BYTES
         if len(self.buckets) == 1:
-            out = self._dispatch(Xw, arrays, nch, math, nw, whole_x,
-                                 linear, None, plan.n_win, plan.l_max,
-                                 None)
+            out = self._dispatch(Xw, arrays, nch, math, complete, nw,
+                                 whole_x, linear, None, plan.n_win,
+                                 plan.l_max, None)
         else:
             # depth-bucketed: one dispatch per bucket, each statically
             # unrolled only to ITS depth; later buckets alias the
@@ -703,15 +725,15 @@ class PallasWindowFlux:
                   else jnp.take(arrays["base"], self.wmap_dev))
             out = None
             for bstart, bcount, blmax in self.buckets:
-                out = self._dispatch(Xw, arrays, nch, math, nw, whole_x,
-                                     linear, bstart, bcount, blmax, out,
-                                     bs)
+                out = self._dispatch(Xw, arrays, nch, math, complete,
+                                     nw, whole_x, linear, bstart,
+                                     bcount, blmax, out, bs)
         if linear:
             return out.reshape(5, P)
         return out.transpose(1, 0, 3, 2).reshape(5, P)
 
-    def _dispatch(self, Xw, arrays, nch, math, nw, whole_x, linear,
-                  start, count, l_max_b, prev, bs=None):
+    def _dispatch(self, Xw, arrays, nch, math, complete, nw, whole_x,
+                  linear, start, count, l_max_b, prev, bs=None):
         """One pallas_call over `count` windows unrolled to l_max_b
         layers. start=None: the plain full-grid dispatch. start=int:
         windows wmap[start:start+count] of the depth-sorted order, with
@@ -724,8 +746,8 @@ class PallasWindowFlux:
         bucketed = start is not None
         use_bs = bucketed and not whole_x
         kernel = functools.partial(_window_kernel, S, l_max_b, nch,
-                                   math, nw, not whole_x, linear,
-                                   not self.interpret, start)
+                                   math, complete, nw, not whole_x,
+                                   linear, not self.interpret, start)
         if use_bs:
             assert bs is not None
             body = lambda bs_ref, *refs: kernel(*refs)  # noqa: E731

@@ -54,9 +54,9 @@ def _sharded_step_factor(const, q, legacy):
 
 def _window_exchange(sd, const, qv, padded_in):
     """Gather-only halo: [local block | all-gathered separator pool],
-    lane-padded to whole windows with a physical state (the channel
-    build computes 1/rho — padding must stay finite; no live slot
-    references the pad lanes). Pool SECTIONS are reordered per shard
+    lane-padded to whole windows with a physical state (the kernel's
+    in-kernel primitive completion computes 1/rho on owner rows —
+    padding must stay finite; no live slot references the pad lanes). Pool SECTIONS are reordered per shard
     (win_sec_order) so the sections this shard references sit right
     after the block, inside the plan's kw neighborhood."""
     pool_sz = sd.P * sd.smax

@@ -673,16 +673,27 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
         def fused(qq, oo, ff, sp, lvl=lvl):
             return lvl.window_fused(qq, oo, ff, sp,
                                     arrays=lvl.window_arrays)
-    if fused is not None and not config.flux_cripple:
+    if fused is not None:
         # fused RK stage: ONE kernel launch per stage covers the whole
         # reference sequence flux -> boundary/wall -> time_step ->
         # invalid check (euler3d:383-512). Spill edges (outside the span
         # plan) are pre-accumulated and enter as a kernel input; the
         # step factor stays outside (its global min is a cross-block
-        # reduction). The crippled diagnostic uses the unfused pipeline.
+        # reduction). The crippled diagnostic twin runs ALONGSIDE the
+        # fused dispatch (token-consumed, writes discarded) so the flag
+        # stays side-effect-free on the production pipeline — forcing
+        # the unfused pipeline instead perturbs the solution at the
+        # 1-ulp level (the in-kernel primitive completion compiles into
+        # differently-rewritten XLA graphs fused vs unfused).
         from ..ops import tops
         _, _, (sa, sb, sw) = lvl.shift
         for j in range(RK):
+            if config.flux_cripple:
+                v_nm = q.T
+                crippled = internal_edge_flux_crippled(
+                    v_nm[lvl.edge_a], v_nm[lvl.edge_b], lvl.edge_w)
+                rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
+                    (), variables.dtype)
             spill = None
             if sa.shape[0]:
                 val = tops.t_internal_edge_flux(q[:, sa], q[:, sb], sw.T)
