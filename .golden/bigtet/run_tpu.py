@@ -1,7 +1,7 @@
 """TPU capacity measurement on the ~8M-edge tet hierarchy (window
-mode; fuse_window_stage auto-resolves OFF above the VMEM cliff).
-K=10 cycles/dispatch, best of 3 — same policy as the box capacity
-table in BASELINE.md.
+mode; whole-X + fused since the scoped-VMEM ceiling raise).
+K=50 cycles/dispatch, best of 3 — the late-round-3 headline policy
+(BASELINE.md); also prints the K=10 point for the K-scan fit.
 
 PYTHONPATH=/root/repo:/root/.axon_site python .golden/bigtet/run_tpu.py
 """
@@ -22,7 +22,7 @@ for i, l in enumerate(mesh.levels):
     print(f"L{i}: {l.num_nodes} nodes {l.num_internal_edges} edges",
           flush=True)
 
-K = 10
+K = 50
 cfg = SolverConfig(dtype="float32", accumulate="window",
                    include_indirect_rw=False,
                    plan_cache_dir=os.path.join(D, "plans"))

@@ -165,5 +165,23 @@ def main():
         print(f"{label}: {ms:.3f} ms/eval  {rate:.0f}M e/s")
 
 
+def s_sweep():
+    """With the 5-channel body the select share per layer shrank —
+    re-probe the S (sources/layer) trade at the REAL packer layer
+    counts (S=4: 33.6/46, S=5: 29.6/38, S=6: 27.4/34, S=8: 25.3/30)."""
+    print(f"devices: {jax.devices()}")
+    for label, S, l_max in [("S=8 l_max=30", 8, 30),
+                            ("S=6 l_max=34", 6, 34),
+                            ("S=5 l_max=38", 5, 38)]:
+        a = make_args(S, l_max, 5)
+        fn = build(S, l_max, 5)
+        ms = timeit_chain(fn, a)
+        rate = HALVES / 2 / (ms * 1e-3) / 1e6
+        print(f"{label} ch5: {ms:.3f} ms/eval  {rate:.0f}M e/s")
+
+
 if __name__ == "__main__":
-    main()
+    if len(__import__("sys").argv) > 1:
+        s_sweep()
+    else:
+        main()
