@@ -11,9 +11,14 @@ machine's CPU (single core, gnu -O3 -ffast-math; see BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+if os.environ.get("MGCFD_COMPILE_CACHE"):
+    from mgcfd_tpu.utils.compilecache import enable_compile_cache
+    enable_compile_cache(os.environ["MGCFD_COMPILE_CACHE"])
 
 from mgcfd_tpu.bench import flagship_mesh, FLAGSHIP_SPEC
 from mgcfd_tpu.core.config import SolverConfig

@@ -63,6 +63,10 @@ def read_config_file(path: str, cfg: SolverConfig) -> None:
                 cfg.event_config_file = (
                     value if value.startswith("/")
                     else os.path.join(base, value))
+            elif key == "compile_cache":
+                cfg.compile_cache_dir = (
+                    value if value.startswith("/")
+                    else os.path.join(base, value))
             elif key in ("omp_num_threads", "output_old_variables",
                          "config_filepath"):
                 pass  # accepted for reference compatibility
@@ -155,6 +159,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plan-cache", default=None, metavar="DIR",
                    help="content-addressed cache for windowed-gather "
                         "plans (--accumulate window preprocessing)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache: repeat runs "
+                        "of one configuration skip the cold compile "
+                        "(minutes at capacity scale through the tunnel)")
     p.add_argument("--dump-hlo", default=None, metavar="DIR",
                    help="save compiled optimized-HLO text per kernel "
                         "(instrumented) or for the whole V-cycle (fused) "
@@ -211,6 +219,11 @@ def main(argv=None) -> int:
         cfg.event_config_file = args.papi_config_file
     if args.plan_cache is not None:
         cfg.plan_cache_dir = args.plan_cache
+    if args.compile_cache is not None:
+        cfg.compile_cache_dir = args.compile_cache
+    if cfg.compile_cache_dir:
+        from ..utils.compilecache import enable_compile_cache
+        enable_compile_cache(cfg.compile_cache_dir)
     if args.checkpoint_dir is not None:
         cfg.checkpoint_dir = args.checkpoint_dir
     if args.checkpoint_every is not None:

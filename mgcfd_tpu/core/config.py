@@ -83,6 +83,9 @@ class SolverConfig:
     # (TPU-fast; False falls back to the scatter formulation)
     plan_cache_dir: str = ""          # content-addressed npz cache for
     # windowed-gather plans (prep/window.cached_plan); "" = rebuild
+    compile_cache_dir: str = ""       # persistent XLA compilation cache
+    # (utils/compilecache.enable_compile_cache); "" = off. Repeat runs
+    # of one configuration skip the minutes-scale cold compile.
     check_invalid_every: int = 1      # host-side NaN-guard cadence (cycles)
     num_partitions: int = 1           # SPMD shards (parallel/)
     monitor_mode: str = "fused"       # 'fused' | 'instrumented'

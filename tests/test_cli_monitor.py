@@ -231,3 +231,23 @@ def test_instrumented_window_mode(dataset):
     assert inst.stats.times[("flux", 0)] > 0
     assert inst.stats.times[("restrict", 0)] > 0
     assert inst.stats.times[("prolong", 0)] > 0
+
+
+def test_compile_cache_flag(dataset, tmp_path):
+    """--compile-cache DIR turns on JAX's persistent compilation cache
+    (utils/compilecache.py): the run succeeds and the directory gains
+    cache entries. The reference pays compile cost once at `make`; this
+    is the jit-era equivalent (cold tunnel compiles cost minutes at
+    capacity scale, BASELINE.md)."""
+    import jax
+
+    d, _ = dataset
+    cache = tmp_path / "xlacache"
+    try:
+        rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "1",
+                       "-o", str(tmp_path) + "/", "--dtype", "float64",
+                       "--compile-cache", str(cache)])
+        assert rc == 0
+        assert cache.is_dir() and any(cache.iterdir())
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
