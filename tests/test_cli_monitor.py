@@ -251,3 +251,25 @@ def test_compile_cache_flag(dataset, tmp_path):
         assert cache.is_dir() and any(cache.iterdir())
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_compile_cache_config_key(dataset, tmp_path):
+    """`compile_cache = DIR` in a config file (relative paths resolve
+    against the config file's directory, like the reference's
+    input_file_directory rule, config.cpp:196-216)."""
+    import jax
+
+    d, _ = dataset
+    conf = tmp_path / "run.conf"
+    conf.write_text(f"input_file = input.dat\n"
+                    f"input_file_directory = {d}\n"
+                    f"cycles = 1\n"
+                    f"compile_cache = xcache\n")
+    try:
+        rc = cli_main(["-c", str(conf), "-o", str(tmp_path) + "/",
+                       "--dtype", "float64"])
+        assert rc == 0
+        cache = tmp_path / "xcache"
+        assert cache.is_dir() and any(cache.iterdir())
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
