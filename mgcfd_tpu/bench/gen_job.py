@@ -129,12 +129,16 @@ def generate_jobs(profile_path: str, repo_root: str | None = None) -> str:
                     "-p", "events.conf",
                     # compiled-artifact capture per job (the objdump
                     # analogue, run-templates/run-mgcfd.sh:97-119)
-                    "--dump-hlo", "hlo",
-                    # one persistent compilation cache across the sweep:
-                    # repeats and flag-only variants of one program skip
-                    # the cold compile (the reference pays this once at
-                    # `make`; utils/compilecache.py)
-                    "--compile-cache", os.path.join(jobs_dir, "xlacache")]
+                    "--dump-hlo", "hlo"]
+            # One persistent compilation cache across the sweep: repeats
+            # and flag-only variants of one program skip the cold compile
+            # (the reference pays this once at `make`;
+            # utils/compilecache.py). Sweeps that exist to MEASURE
+            # cold-compile cost (the make-time axis) opt out with
+            # `"setup": {"compile cache": false}`.
+            if setup.get("compile cache", True):
+                cli += ["--compile-cache",
+                        os.path.join(jobs_dir, "xlacache")]
             if parts > 1:
                 cli += ["--partitions", str(parts)]
             if run.get("platform"):

@@ -152,6 +152,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transposed", action="store_true",
                    help="variable-major (5, N) state layout in the RK "
                         "loop (with --accumulate shift)")
+    p.add_argument("--measure-ops", action="store_true",
+                   help="capture one profiled cycle after the run and "
+                        "emit MEASURED per-kernel device time beside "
+                        "the XLACosts estimates (XPROF_DEVICE_TIME_US "
+                        "rows; needs --monitor instrumented)")
     p.add_argument("--profile-dir", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one extra "
                         "V-cycle after the run (view with xprof/"
@@ -224,6 +229,11 @@ def main(argv=None) -> int:
     if cfg.compile_cache_dir:
         from ..utils.compilecache import enable_compile_cache
         enable_compile_cache(cfg.compile_cache_dir)
+    else:
+        # A previous in-process invocation may have enabled a cache dir;
+        # without an explicit request this run must not keep writing there.
+        from ..utils.compilecache import disable_compile_cache
+        disable_compile_cache()
     if args.checkpoint_dir is not None:
         cfg.checkpoint_dir = args.checkpoint_dir
     if args.checkpoint_every is not None:
@@ -286,6 +296,16 @@ def main(argv=None) -> int:
         with jax.profiler.trace(args.profile_dir):
             solver.run(1)
         print(f"Profiler trace written to: {args.profile_dir}")
+
+    if args.measure_ops:
+        if cfg.monitor_mode == "instrumented" and hasattr(solver, "k"):
+            from ..monitor.opstats import measure_instrumented
+            measured = measure_instrumented(solver)
+            print(f"Measured device time captured for {len(measured)} "
+                  f"kernels (XPROF_* rows of XLACosts.csv)")
+        else:
+            print("WARNING: --measure-ops needs --monitor instrumented; "
+                  "skipping")
 
     if args.dump_hlo and hasattr(solver, "dump_hlo"):
         paths = solver.dump_hlo(args.dump_hlo)

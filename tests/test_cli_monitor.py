@@ -233,6 +233,36 @@ def test_instrumented_window_mode(dataset):
     assert inst.stats.times[("prolong", 0)] > 0
 
 
+def test_measure_ops_flag(dataset, tmp_path):
+    """--measure-ops captures a real profiler trace after the run and
+    lands MEASURED per-kernel device time beside the XLACosts estimates
+    (XPROF_DEVICE_TIME_US / XPROF_OCCURRENCES rows) — the measured half
+    of the reference's PAPI contract (papi_funcs.cpp:256-323), which
+    recorded hardware counts, not compiler estimates."""
+    d, mesh = dataset
+    rc = cli_main(["-i", "input.dat", "-d", str(d), "-g", "2",
+                   "-o", str(tmp_path) + "/", "--dtype", "float64",
+                   "--monitor", "instrumented", "--measure-ops"])
+    assert rc == 0
+    costs = open(tmp_path / "XLACosts.csv").read().splitlines()
+    header = costs[0].split(",")
+    ev_col = header.index("Event")
+    flux0_col = header.index("flux0")
+    ts0_col = header.index("time_step0")
+    rows = {r.split(",")[ev_col]: r.split(",") for r in costs[1:]}
+    assert "XPROF_DEVICE_TIME_US" in rows
+    assert "XPROF_OCCURRENCES" in rows
+    # measured time is a real positive number for the hot kernel...
+    assert float(rows["XPROF_DEVICE_TIME_US"][flux0_col]) > 0
+    # ...and occurrences equal the traced cycle's actual dispatch
+    # counts (1 cycle x RK stages for flux/time_step)
+    from mgcfd_tpu.core.constants import RK
+    assert float(rows["XPROF_OCCURRENCES"][flux0_col]) == RK
+    assert float(rows["XPROF_OCCURRENCES"][ts0_col]) == RK
+    # estimates still present beside the measured rows
+    assert "XLA_FLOPS_ESTIMATE" in rows
+
+
 def test_compile_cache_flag(dataset, tmp_path):
     """--compile-cache DIR turns on JAX's persistent compilation cache
     (utils/compilecache.py): the run succeeds and the directory gains
@@ -250,7 +280,8 @@ def test_compile_cache_flag(dataset, tmp_path):
         assert rc == 0
         assert cache.is_dir() and any(cache.iterdir())
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        from mgcfd_tpu.utils.compilecache import disable_compile_cache
+        disable_compile_cache()
 
 
 def test_compile_cache_config_key(dataset, tmp_path):
@@ -272,4 +303,5 @@ def test_compile_cache_config_key(dataset, tmp_path):
         cache = tmp_path / "xcache"
         assert cache.is_dir() and any(cache.iterdir())
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        from mgcfd_tpu.utils.compilecache import disable_compile_cache
+        disable_compile_cache()
