@@ -124,6 +124,29 @@ def _depth_buckets(layer_count, max_buckets: int = 4):
     return order, buckets
 
 
+def shared_depth_buckets(layer_counts, max_buckets: int = 4):
+    """One bucket structure valid for EVERY shard of a stacked (P,
+    n_win) layer_count family (the sharded production path, VERDICT r03
+    #4): each shard sorts its own windows by depth (its wmap travels as
+    per-shard DATA through shard_map), while the (start, count,
+    l_max_b) triples — the only part baked into the compiled SPMD
+    program — come from the DP over the elementwise MAX of the shards'
+    depth-sorted profiles, so every bucket's static unroll covers every
+    shard's windows in that range. Dead layers are inert in-kernel
+    (gated on nl_ref), exactly as in single-shard bucketed dispatch
+    where most windows are shallower than their bucket's l_max_b.
+
+    Returns (orders (P, n_win) int32, buckets)."""
+    lc = np.asarray(layer_counts, np.int64)
+    orders = np.argsort(lc, axis=1, kind="stable").astype(np.int32)
+    dmax = np.take_along_axis(lc, orders.astype(np.int64), axis=1).max(
+        axis=0)
+    # dmax is nondecreasing (max of nondecreasing rows), so the generic
+    # DP's own sort is the identity and its buckets apply verbatim
+    _, buckets = _depth_buckets(dmax, max_buckets=max_buckets)
+    return orders, buckets
+
+
 def _complete8(q):
     """Conserved (rho, mx, my, mz, E) -> full 8-channel tuple with the
     primitives (p, speed+sos, 1/rho) recomputed in-kernel. Op order
@@ -643,7 +666,8 @@ class PallasWindowFlux:
 
     def __init__(self, plan: WindowPlan, num_nodes: int, dtype=jnp.float32,
                  interpret: bool = False, rw: bool = False, arrays=None,
-                 mode: str | None = None, bucket: bool = True):
+                 mode: str | None = None, bucket: bool = True,
+                 buckets=None):
         self.plan = plan
         self.num_nodes = num_nodes
         self.padded = plan.padded_nodes           # OWNER/output lanes
@@ -656,7 +680,14 @@ class PallasWindowFlux:
         # for a DIFFERENT plan (the sharded per-shard template) must
         # pass bucket=False — the bucket structure is baked from THIS
         # plan's layer_count at trace time.
-        if bucket and not interpret:
+        if buckets is not None:
+            # explicit shared bucket structure (shared_depth_buckets):
+            # the depth-sorted wmap is PER-SHARD data and must arrive
+            # via arrays["wmap"] at call time. Honored in interpret
+            # mode too so the CPU CI runs the production dispatch.
+            self.buckets = list(buckets)
+            self.wmap_dev = None
+        elif bucket and not interpret:
             order, self.buckets = _depth_buckets(plan.layer_count)
             self.wmap_dev = jnp.asarray(order, jnp.int32)
         else:
@@ -721,19 +752,23 @@ class PallasWindowFlux:
             # read — base[wmap[start+w]] deterministically aborts the
             # chip for high-offset window pairs (capacity-scale 8M-edge
             # mesh, .golden/bigwin_bisect3.py), bs[start+w] does not.
+            wmap = arrays.get("wmap", self.wmap_dev)
+            assert wmap is not None, \
+                "explicit-bucket kernels need arrays['wmap']"
             bs = (None if whole_x
-                  else jnp.take(arrays["base"], self.wmap_dev))
+                  else jnp.take(arrays["base"], wmap))
             out = None
             for bstart, bcount, blmax in self.buckets:
                 out = self._dispatch(Xw, arrays, nch, math, complete,
                                      nw, whole_x, linear, bstart,
-                                     bcount, blmax, out, bs)
+                                     bcount, blmax, out, bs, wmap)
         if linear:
             return out.reshape(5, P)
         return out.transpose(1, 0, 3, 2).reshape(5, P)
 
     def _dispatch(self, Xw, arrays, nch, math, complete, nw, whole_x,
-                  linear, start, count, l_max_b, prev, bs=None):
+                  linear, start, count, l_max_b, prev, bs=None,
+                  wmap=None):
         """One pallas_call over `count` windows unrolled to l_max_b
         layers. start=None: the plain full-grid dispatch. start=int:
         windows wmap[start:start+count] of the depth-sorted order, with
@@ -814,7 +849,7 @@ class PallasWindowFlux:
         args = [arrays["base"], arrays["nl"], arrays["own"]]
         nsp = 3
         if bucketed:
-            args.append(self.wmap_dev)
+            args.append(self.wmap_dev if wmap is None else wmap)
             nsp = 4
         if use_bs:
             args.insert(0, bs)

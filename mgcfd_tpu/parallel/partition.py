@@ -110,6 +110,11 @@ class ShardedLevelData:
     # windows fall inside the kw neighborhood of block-tail owners (the
     # all_gather'd pool is statically reordered per shard)
     win_stats: list | None = None          # per-shard plan statistics
+    # shared depth-bucketed dispatch (pallas.flux_window
+    # shared_depth_buckets): ONE (start, count, l_max_b) structure baked
+    # into the SPMD program, per-shard depth-sorted window orders as data
+    win_wmap: np.ndarray | None = None     # (P, n_win) i32 sorted order
+    win_buckets: list | None = None        # [(start, count, l_max_b)]
     # sizes
     num_nodes: int = 0
     block: int = 0        # storage width (window-rounded in window mode)
@@ -412,6 +417,9 @@ def _attach_window_plans(sl: ShardedLevelData, lvl: MeshLevel, P: int,
     sl.win_spill_w = np.stack(
         [_pad_to(pl.spill_w.reshape(-1, 3), hs, 0.0) for pl in plans])
     sl.win_sec_order = sec_order
+    from ..pallas.flux_window import shared_depth_buckets
+    sl.win_wmap, sl.win_buckets = shared_depth_buckets(
+        sl.win_arrays["nl"])
     import dataclasses as _dc
     sl.win_template = _dc.replace(
         plans[0], l_max=l_max,

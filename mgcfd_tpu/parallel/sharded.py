@@ -80,7 +80,8 @@ def _window_flux_total(sd, const, q, wkernels):
 
     wflux, _ = wkernels
     warrs = {k: const["win_" + k] for k in
-             ("base", "nl", "own", "lwins", "wsel", "ci", "rs", "w4")}
+             ("base", "nl", "own", "lwins", "wsel", "ci", "rs", "w4",
+              "wmap")}
     wsd = const["wsp_dest"]
     B = q.shape[1]
     comb = _window_exchange(sd, const, q, wflux.padded_in)
@@ -102,7 +103,8 @@ def _window_rw_token(sd, const, q, wkernels):
 
     _, wrw = wkernels
     warrs = {k: const["win_" + k] for k in
-             ("base", "nl", "own", "lwins", "wsel", "ci", "rs", "w4")}
+             ("base", "nl", "own", "lwins", "wsel", "ci", "rs", "w4",
+              "wmap")}
     wsd = const["wsp_dest"]
     comb2 = _window_exchange(sd, const, q, wrw.padded_in)
     tok = jnp.sum(wrw(comb2, arrays=warrs))
@@ -350,15 +352,16 @@ def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
         # production kernel and serves both config names here)
         from ..pallas.flux_window import PallasWindowFlux
         interp = mesh.devices.flat[0].platform == "cpu"
-        # bucket=False: the template plan's layer_count is shard 0's;
-        # per-shard arrays are swapped in at call time, so the baked
-        # depth-bucket structure would be wrong for the other shards
+        # Shared depth-bucketed dispatch (VERDICT r03 #4): the bucket
+        # STRUCTURE (start/count/l_max_b) comes from the cross-shard
+        # max depth profile, so one SPMD program serves every shard;
+        # each shard's depth-sorted wmap travels as DATA (win_wmap).
         wflux = PallasWindowFlux(sd.win_template, sd.block, dtype=dtype,
                                  interpret=interp, arrays={},
-                                 bucket=False)
+                                 buckets=sd.win_buckets)
         wrw = PallasWindowFlux(sd.win_template, sd.block, dtype=dtype,
                                interpret=interp, rw=True, arrays={},
-                               bucket=False)
+                               buckets=sd.win_buckets)
         wkernels = (wflux, wrw)
         wa = sd.win_arrays
         sharded_const.update({
@@ -374,6 +377,7 @@ def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
             "wsp_src": to_dev(sd.win_spill_src, jnp.int32),
             "wsp_w": to_dev(sd.win_spill_w),
             "win_sec_order": to_dev(sd.win_sec_order, jnp.int32),
+            "win_wmap": to_dev(sd.win_wmap, jnp.int32),
         })
     if sd.mg_mapping is not None:
         sharded_const.update({
@@ -484,7 +488,7 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
     def step(state):
         return shmapped(sharded_const, replicated_const, state)
 
-    return step
+    return step, wkernels
 
 
 class ShardedSolver:
@@ -556,7 +560,7 @@ class ShardedSolver:
                                 for l in dmesh_coarse],
             }
         legacy = mgmesh.variant.uses_legacy_step_factor
-        self._cycle = make_sharded_cycle_fn(
+        self._cycle, self.wkernels = make_sharded_cycle_fn(
             self.smesh, dmesh_coarse, config, self.jmesh, legacy)
         self.rms_history: list[float] = []
         self.completed_cycles = 0
