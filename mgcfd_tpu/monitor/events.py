@@ -18,6 +18,12 @@ SUPPORTED_EVENTS = {
     "XLA_TRANSCENDENTALS_ESTIMATE": "transcendentals",
     "XLA_OPTIMAL_SECONDS_ESTIMATE": "optimal_seconds",
     "CALLS": None,
+    # MEASURED (not estimated) rows, sourced from a real profiler trace
+    # by --measure-ops (monitor/opstats.py) — the measured half of the
+    # PAPI contract (papi_funcs.cpp:256-323). Zero unless that run mode
+    # captured a trace.
+    "XPROF_DEVICE_TIME_US": "measured_device_time_us",
+    "XPROF_OCCURRENCES": "measured_occurrences",
 }
 
 DEFAULT_EVENTS = ["XLA_FLOPS_ESTIMATE", "XLA_BYTES_ACCESSED_ESTIMATE",
@@ -57,9 +63,16 @@ def selected_events(config) -> list[str]:
 
 def event_rows(config, stats) -> list:
     """[(event_name, {(kernel, level): value})] for write_costs_csv,
-    from the run's recorded cost details + call counts."""
+    from the run's recorded cost details + call counts. When a
+    --measure-ops trace was captured, its measured rows are always
+    included (capturing the trace IS the opt-in)."""
+    names = selected_events(config)
+    if getattr(stats, "measured", None):
+        for extra in ("XPROF_DEVICE_TIME_US", "XPROF_OCCURRENCES"):
+            if extra not in names:
+                names.append(extra)
     rows = []
-    for name in selected_events(config):
+    for name in names:
         key = SUPPORTED_EVENTS[name]
         if name == "CALLS":
             rows.append((name, dict(stats.calls)))

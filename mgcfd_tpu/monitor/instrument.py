@@ -67,7 +67,7 @@ from ..solver.solver import (
 )
 
 
-def _bind(fn, *struct):
+def _bind(fn, *struct, name: str | None = None):
     """jit `fn(*merged_struct, *args)` with every array inside `struct`
     (DeviceLevel fields incl. window plans, edge lists, MG tables)
     passed as jit ARGUMENTS — not closure constants, which inline into
@@ -75,12 +75,19 @@ def _bind(fn, *struct):
     to 2.2 MB of StableHLO; at flagship scale the plans are 100s of MB
     and this environment's remote compiler rejects such bodies). Same
     policy as solver._parametrised. The returned callable exposes
-    .lower() for cost analysis / HLO capture."""
+    .lower() for cost analysis / HLO capture.
+
+    `name` labels the compiled module (`jit_<name>`): the handle
+    monitor/opstats.py uses to attribute measured profiler device time
+    back to (kernel, level)."""
     arrays: list = []
     tpl = _split_arrays(struct, arrays)
 
-    jf = jax.jit(lambda arrs, *args: fn(*_merge_arrays(tpl, arrs),
-                                        *args))
+    def wrapper(arrs, *args):
+        return fn(*_merge_arrays(tpl, arrs), *args)
+    if name:
+        wrapper.__name__ = name
+    jf = jax.jit(wrapper)
 
     def bound(*args):
         return jf(arrays, *args)
@@ -101,6 +108,9 @@ class KernelStats:
     # transcendentals, optimal_seconds, ...): the pool the -p event
     # selection draws XLACosts.csv rows from (monitor/events.py)
     cost_details: dict = dataclasses.field(default_factory=dict)
+    # measured per-kernel device time from a --measure-ops profiler
+    # trace (monitor/opstats.py); empty unless that mode ran
+    measured: dict = dataclasses.field(default_factory=dict)
 
 
 def _cost_details_of(jitted, *args) -> dict:
@@ -161,22 +171,28 @@ class InstrumentedSolver:
         for l, lvl in enumerate(self.dmesh.levels):
             if ts:
                 self.k[("compute_step", l)] = _bind(
-                    lambda lv, q: t_step_factor(lv, q, self.legacy), lvl)
+                    lambda lv, q: t_step_factor(lv, q, self.legacy), lvl,
+                    name=f"k_compute_step_l{l}")
                 # the production flux dispatch (window / pallas / rolled
                 # shift + spill + dense boundary/wall)
                 self.k[("flux", l)] = _bind(
                     lambda lv, q: t_compute_fluxes(lv, q, self.ff_flux,
-                                                   cfg), lvl)
-                self.k[("time_step", l)] = jax.jit(
-                    lambda j, sf, fx, old: t_time_step(j, sf, fx, old),
-                    static_argnums=0)
+                                                   cfg), lvl,
+                    name=f"k_flux_l{l}")
+                def _ts_t(j, sf, fx, old):
+                    return t_time_step(j, sf, fx, old)
+                _ts_t.__name__ = f"k_time_step_l{l}"
+                self.k[("time_step", l)] = jax.jit(_ts_t,
+                                                   static_argnums=0)
                 self.k[("indirect_rw", l)] = _bind(
-                    lambda lv, q: t_indirect_rw(lv, q, cfg), lvl)
+                    lambda lv, q: t_indirect_rw(lv, q, cfg), lvl,
+                    name=f"k_indirect_rw_l{l}")
             else:
                 step = (compute_step_factor_legacy if self.legacy
                         else compute_step_factor)
                 self.k[("compute_step", l)] = _bind(
-                    lambda lv, v, step=step: step(v, lv.volumes), lvl)
+                    lambda lv, v, step=step: step(v, lv.volumes), lvl,
+                    name=f"k_compute_step_l{l}")
 
                 if cfg.flux_fission:
                     def flux_vals(lv, v):
@@ -194,17 +210,22 @@ class InstrumentedSolver:
                             lv.bedge_b, vb, lv.wedge_b, vw,
                             mode="segment")
 
-                    self.k[("flux", l)] = _bind(flux_vals, lvl)
-                    self.k[("update", l)] = _bind(update, lvl)
+                    self.k[("flux", l)] = _bind(
+                        flux_vals, lvl, name=f"k_flux_l{l}")
+                    self.k[("update", l)] = _bind(
+                        update, lvl, name=f"k_update_l{l}")
                 else:
                     # honours config.accumulate (segment/scatter/ell/shift)
                     self.k[("flux", l)] = _bind(
                         lambda lv, v: _compute_fluxes(lv, v, self.ff_flux,
-                                                      cfg), lvl)
+                                                      cfg), lvl,
+                        name=f"k_flux_l{l}")
 
-                self.k[("time_step", l)] = jax.jit(
-                    lambda j, sf, fx, old: time_step(j, sf, fx, old),
-                    static_argnums=0)
+                def _ts(j, sf, fx, old):
+                    return time_step(j, sf, fx, old)
+                _ts.__name__ = f"k_time_step_l{l}"
+                self.k[("time_step", l)] = jax.jit(_ts,
+                                                   static_argnums=0)
 
                 def rw(lv, v):
                     va, vb = indirect_rw_edge_values(
@@ -212,7 +233,8 @@ class InstrumentedSolver:
                     return accumulate_flux(lv.num_nodes, lv.edge_a,
                                            lv.edge_b, va, mode="segment",
                                            val_internal_b=vb)
-                self.k[("indirect_rw", l)] = _bind(rw, lvl)
+                self.k[("indirect_rw", l)] = _bind(
+                    rw, lvl, name=f"k_indirect_rw_l{l}")
 
             if l < len(self.dmesh.levels) - 1:
                 nxt = self.dmesh.levels[l + 1]
@@ -222,10 +244,12 @@ class InstrumentedSolver:
                 # lane-padded writeback when the state carries padding
                 self.k[("restrict", l)] = _bind(
                     lambda lv, nx, vf, vc: apply_restrict_padded(
-                        lv, nx, vf, vc, ts), lvl, nxt)
+                        lv, nx, vf, vc, ts), lvl, nxt,
+                    name=f"k_restrict_l{l}")
                 self.k[("prolong", l)] = _bind(
                     lambda lv, nx, rc, rf, vf: apply_prolong_padded(
-                        lv, nx, rc, rf, vf, ts), lvl, nxt)
+                        lv, nx, rc, rf, vf, ts), lvl, nxt,
+                    name=f"k_prolong_l{l}")
 
     # --- timed invocation ----------------------------------------------
     _recording = True
