@@ -28,6 +28,25 @@ from ..core.types import MeshLevel, MultigridMesh
 from .build import build_edges_from_adjacency
 
 
+class MeshFormatError(ValueError):
+    """Malformed mesh / connectivity / coords file.
+
+    The reference exits with an error on unreadable files
+    (io.cpp:43-47) and WARNS when the header's edge count disagrees
+    with the records actually read (io.cpp:145-147); this framework
+    raises for structural corruption and reproduces the warning for
+    the count mismatch. Raised identically by the Python and native
+    parsers."""
+
+
+def _warn_edge_mismatch(path: str, claimed: int, actual: int) -> None:
+    """The reference's non-fatal degree/header disagreement diagnostic
+    (io.cpp:145-147): parsing continues with the edges actually read."""
+    if claimed != actual:
+        print(f"WARNING: {path}: header claims {claimed} edges but "
+              f"{actual} were read; continuing with {actual}")
+
+
 # ---------------------------------------------------------------------------
 # .dat grid files
 # ---------------------------------------------------------------------------
@@ -101,28 +120,66 @@ def read_grid_dat(path: str, variant: MeshVariant,
             pass
     with open(path) as f:
         toks = f.read().split()
-    pos = 0
-    nel = int(toks[pos]); pos += 1
-    _num_edges_claimed = int(toks[pos]); pos += 1
+    if len(toks) < 2:
+        raise MeshFormatError(f"{path}: missing 'nel num_edges' header")
+    try:
+        nel = int(toks[0])
+        num_edges_claimed = int(toks[1])
+    except ValueError:
+        raise MeshFormatError(
+            f"{path}: malformed header {toks[0]!r} {toks[1]!r}") from None
+    if nel <= 0:
+        raise MeshFormatError(f"{path}: non-positive node count {nel}")
+    pos = 2
 
     volumes = np.empty(nel)
     neighbour_ids: list[np.ndarray] = []
     neighbour_wts: list[np.ndarray] = []
     for i in range(nel):
-        volumes[i] = float(toks[pos]); pos += 1
-        deg = int(toks[pos]); pos += 1
-        flat = toks[pos:pos + 4 * deg]; pos += 4 * deg
-        arr = np.array(flat, dtype=np.float64).reshape(deg, 4)
+        if pos + 2 > len(toks):
+            raise MeshFormatError(
+                f"{path}: truncated at node {i} of {nel} "
+                f"(volume/degree missing)")
+        try:
+            volumes[i] = float(toks[pos])
+            deg = int(toks[pos + 1])
+        except ValueError:
+            raise MeshFormatError(
+                f"{path}: bad volume/degree at node {i}: "
+                f"{toks[pos]!r} {toks[pos + 1]!r}") from None
+        if deg < 0:
+            raise MeshFormatError(
+                f"{path}: negative degree {deg} at node {i}")
+        pos += 2
+        flat = toks[pos:pos + 4 * deg]
+        pos += 4 * deg
+        if len(flat) < 4 * deg:
+            raise MeshFormatError(
+                f"{path}: truncated neighbour records at node {i} "
+                f"(need {deg}, file ends early)")
+        try:
+            arr = np.array(flat, dtype=np.float64).reshape(deg, 4)
+        except ValueError:
+            raise MeshFormatError(
+                f"{path}: non-numeric neighbour record at node {i}"
+            ) from None
         neighbour_ids.append(arr[:, 0].astype(np.int64))
         neighbour_wts.append(arr[:, 1:4])
 
     coords = None
     coords_path = path + ".coords"
     if need_coords and os.path.exists(coords_path):
-        coords = np.loadtxt(coords_path, dtype=np.float64).reshape(nel, 3)
+        try:
+            coords = np.loadtxt(coords_path,
+                                dtype=np.float64).reshape(nel, 3)
+        except ValueError:
+            raise MeshFormatError(
+                f"{coords_path}: expected {nel} 'x y z' rows") from None
 
-    return build_edges_from_adjacency(volumes, coords, neighbour_ids,
-                                      neighbour_wts, variant)
+    lvl = build_edges_from_adjacency(volumes, coords, neighbour_ids,
+                                     neighbour_wts, variant)
+    _warn_edge_mismatch(path, num_edges_claimed, lvl.num_edges)
+    return lvl
 
 
 # ---------------------------------------------------------------------------
@@ -147,8 +204,23 @@ def read_mg_connectivity(path: str, use_native: bool = True) -> np.ndarray:
             pass
     with open(path) as f:
         toks = f.read().split()
-    count = int(toks[0])
-    return np.array(toks[1:1 + count], dtype=np.int64)
+    if not toks:
+        raise MeshFormatError(f"{path}: empty mg connectivity file")
+    try:
+        count = int(toks[0])
+    except ValueError:
+        raise MeshFormatError(
+            f"{path}: malformed count {toks[0]!r}") from None
+    if count < 0:
+        raise MeshFormatError(f"{path}: negative count {count}")
+    if len(toks) - 1 < count:
+        raise MeshFormatError(
+            f"{path}: truncated (header claims {count} ids, "
+            f"{len(toks) - 1} present)")
+    try:
+        return np.array(toks[1:1 + count], dtype=np.int64)
+    except ValueError:
+        raise MeshFormatError(f"{path}: non-integer mg id") from None
 
 
 # ---------------------------------------------------------------------------

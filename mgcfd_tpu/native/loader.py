@@ -39,6 +39,7 @@ class _ParsedMesh(ctypes.Structure):
         ("bedge_w", ctypes.POINTER(ctypes.c_double)),
         ("wedge_b", ctypes.POINTER(ctypes.c_int32)),
         ("wedge_w", ctypes.POINTER(ctypes.c_double)),
+        ("claimed_edges", ctypes.c_int64),
     ]
 
 
@@ -58,6 +59,8 @@ def _ensure_built():
                      "-o", _LIB_PATH],
                     check=True, capture_output=True, timeout=300)
             lib = ctypes.CDLL(_LIB_PATH)
+            lib.mgcfd_last_error.restype = ctypes.c_char_p
+            lib.mgcfd_last_error.argtypes = []
             lib.mgcfd_parse_dat.restype = ctypes.POINTER(_ParsedMesh)
             lib.mgcfd_parse_dat.argtypes = [ctypes.c_char_p, ctypes.c_int]
             lib.mgcfd_parse_coords.restype = ctypes.c_int
@@ -102,12 +105,21 @@ def parse_dat_native(path: str, flip_all: bool, need_coords: bool):
         return None
     from ..core.types import MeshLevel
 
+    from ..mesh.io_dat import MeshFormatError, _warn_edge_mismatch
+
     pm = lib.mgcfd_parse_dat(path.encode(), 1 if flip_all else 0)
     if not pm:
-        raise IOError(f"native parser failed on {path}")
+        msg = lib.mgcfd_last_error().decode() or \
+            f"{path}: native parser failed"
+        if "cannot read file" in msg:
+            # unreadable vs malformed: same split as the Python path
+            # (open() raises OSError; parse errors raise MeshFormatError)
+            raise IOError(msg)
+        raise MeshFormatError(msg)
     try:
         m = pm.contents
         ei, eb, ew = m.num_internal, m.num_boundary, m.num_wall
+        claimed = m.claimed_edges
         lvl = MeshLevel(
             volumes=_copy(m.volumes, m.num_nodes, np.float64),
             coords=None,
@@ -121,6 +133,7 @@ def parse_dat_native(path: str, flip_all: bool, need_coords: bool):
         )
     finally:
         lib.mgcfd_free_mesh(pm)
+    _warn_edge_mismatch(path, claimed, lvl.num_edges)
 
     coords_path = path + ".coords"
     if need_coords and os.path.exists(coords_path):
@@ -130,7 +143,8 @@ def parse_dat_native(path: str, flip_all: bool, need_coords: bool):
             coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             lvl.num_nodes)
         if rc != 0:
-            raise IOError(f"native coords parse failed: {coords_path}")
+            raise MeshFormatError(
+                f"{coords_path}: expected {lvl.num_nodes} 'x y z' rows")
         lvl.coords = coords
     return lvl
 
@@ -189,13 +203,17 @@ def parse_mg_native(path: str):
     lib = _ensure_built()
     if lib is None:
         return None
+    from ..mesh.io_dat import MeshFormatError
+
     count = lib.mgcfd_parse_mg(path.encode(), None, 0)
     if count < 0:
-        raise IOError(f"native mg parse failed: {path}")
+        raise MeshFormatError(
+            f"{path}: malformed or truncated mg connectivity")
     out = np.empty(count, np.int64)
     got = lib.mgcfd_parse_mg(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         count)
     if got != count:
-        raise IOError(f"native mg parse failed: {path}")
+        raise MeshFormatError(
+            f"{path}: malformed or truncated mg connectivity")
     return out

@@ -21,6 +21,11 @@
 
 extern "C" {
 
+// Last parse error (reference error ergonomics: io.cpp:43-47 prints a
+// reason and exits; we surface the reason to Python, which raises).
+static char g_err[512] = "";
+const char* mgcfd_last_error() { return g_err; }
+
 struct ParsedMesh {
   int64_t num_nodes = 0;
   int64_t num_internal = 0;
@@ -34,6 +39,8 @@ struct ParsedMesh {
   double* bedge_w = nullptr;
   int32_t* wedge_b = nullptr;      // [num_wall]
   double* wedge_w = nullptr;
+  int64_t claimed_edges = 0;       // header's edge count (for the
+                                   // io.cpp:145-147 mismatch warning)
 };
 
 // ---------------------------------------------------------------------
@@ -95,14 +102,27 @@ char* read_file(const char* path, size_t* len) {
 // Returns a heap-allocated ParsedMesh* (free with mgcfd_free_mesh), or
 // nullptr on error.
 ParsedMesh* mgcfd_parse_dat(const char* path, int flip_all) {
+  g_err[0] = 0;
   size_t len = 0;
   char* buf = read_file(path, &len);
-  if (!buf) return nullptr;
+  if (!buf) {
+    snprintf(g_err, sizeof g_err, "%s: cannot read file", path);
+    return nullptr;
+  }
   Cursor c{buf, buf + len};
 
   int64_t nel = c.next_int();
   int64_t claimed_edges = c.next_int();
-  if (!c.ok || nel <= 0) { free(buf); return nullptr; }
+  if (!c.ok) {
+    snprintf(g_err, sizeof g_err,
+             "%s: missing 'nel num_edges' header", path);
+    free(buf); return nullptr;
+  }
+  if (nel <= 0) {
+    snprintf(g_err, sizeof g_err,
+             "%s: non-positive node count %lld", path, (long long)nel);
+    free(buf); return nullptr;
+  }
 
   auto* m = new ParsedMesh();
   m->num_nodes = nel;
@@ -116,14 +136,23 @@ ParsedMesh* mgcfd_parse_dat(const char* path, int flip_all) {
   const double flip_i = -1.0;                 // internal always flipped
   const double flip_bw = flip_all ? -1.0 : 1.0;
 
+  int64_t fail_node = -1;
+  bool neg_degree = false;
   for (int64_t i = 0; i < nel && c.ok; ++i) {
     m->volumes[i] = c.next_double();
     int64_t degree = c.next_int();
+    if (c.ok && degree < 0) {
+      neg_degree = true;
+      fail_node = i;
+      break;
+    }
+    if (!c.ok) fail_node = i;
     for (int64_t j = 0; j < degree && c.ok; ++j) {
       int64_t nb = c.next_int();
       double wx = c.next_double();
       double wy = c.next_double();
       double wz = c.next_double();
+      if (!c.ok) { fail_node = i; break; }
       if (nb >= i) continue;  // emitted at the larger endpoint only
       if (nb == -1) {
         bb.push_back((int32_t)i);
@@ -147,11 +176,18 @@ ParsedMesh* mgcfd_parse_dat(const char* path, int flip_all) {
     }
   }
   free(buf);
-  if (!c.ok) {
+  if (!c.ok || neg_degree) {
+    if (fail_node < 0) fail_node = nel - 1;
+    snprintf(g_err, sizeof g_err,
+             neg_degree
+                 ? "%s: negative degree at node %lld"
+                 : "%s: truncated or non-numeric record at node %lld",
+             path, (long long)fail_node);
     free(m->volumes);
     delete m;
     return nullptr;
   }
+  m->claimed_edges = claimed_edges;
 
   auto take_i32 = [](std::vector<int32_t>& v) {
     auto* p = (int32_t*)malloc((v.size() ? v.size() : 1)
