@@ -297,6 +297,17 @@ class PallasShiftFlux:
         # weights are zero, but NaNs from sqrt(negative pressure) would
         # still poison factor * 0. Quiescent gas (rho=1, v=0, E=1).
         self._pad_state = jnp.array([1, 0, 0, 0, 1], dtype)[:, None]
+        self._traced = None
+
+    @property
+    def traced(self):
+        """jit-wrapped __call__: traced once per avals and reused at
+        every call site of the outer trace (see
+        flux_window.PallasWindowFlux.traced)."""
+        if self._traced is None:
+            import jax
+            self._traced = jax.jit(self.__call__)
+        return self._traced
 
     def __call__(self, q_t):
         """q_t: (5, padded) lane-padded state -> (5, padded) internal-edge
@@ -514,6 +525,17 @@ class PallasFusedStage:
         nc[3:6, :num_nodes] = np.asarray(wall_normal)[:, :num_nodes]
         nc[6:11, :num_nodes] = np.asarray(wall_const)[:, :num_nodes]
         self.nc = jnp.asarray(nc)
+        self._traced = None
+
+    @property
+    def traced(self):
+        """jit-wrapped __call__: traced once per avals and reused at
+        every call site of the outer trace (see
+        flux_window.PallasWindowFlux.traced)."""
+        if self._traced is None:
+            import jax
+            self._traced = jax.jit(self.__call__)
+        return self._traced
 
     def __call__(self, q, old, fac, spill=None):
         assert q.shape[1] == self.padded

@@ -456,6 +456,7 @@ class PallasWindowFusedStage:
             "fused window stage requires owner space == neighbor space")
         self.padded = base.padded
         self.interpret = base.interpret
+        self._traced = None
         P = self.padded
         nc = np.zeros((11, P))
         n = min(P, np.asarray(bd_normal).shape[1])
@@ -466,18 +467,35 @@ class PallasWindowFusedStage:
         # lane (j//8)%128) or, on tile-interleaved meshes, the trivial
         # position-major reshape
         if plan.linear_layout:
-            self.nc = jnp.asarray(nc.reshape(11, plan.n_win, 8, 128),
-                                  dtype)
+            nct = nc.reshape(11, plan.n_win, 8, 128)
         else:
-            self.nc = jnp.asarray(
-                nc.reshape(11, plan.n_win, 128, 8).transpose(1, 0, 3, 2),
-                dtype)
+            nct = nc.reshape(11, plan.n_win, 128, 8).transpose(1, 0, 3, 2)
+        # one device copy living in the SHARED plan-arrays dict: the
+        # solver passes that dict as jit ARGUMENTS, so nc never becomes
+        # a closure constant (a closure device array is fetched
+        # host-side at every lowering — ~5 s per fetch through the
+        # tunnel — and inflates the HLO towards the 413 limit)
+        self.nc = base.arrays.setdefault(
+            "nc_fused", jnp.asarray(np.ascontiguousarray(nct), dtype))
 
     def _tile(self, a, rows):
         plan = self.base.plan
         if plan.linear_layout:
             return a.reshape(rows, plan.n_win, 8, 128)
         return a.reshape(rows, plan.n_win, 128, 8).transpose(1, 0, 3, 2)
+
+    @property
+    def traced(self):
+        """jit-wrapped __call__. A nested jit's body is traced ONCE per
+        (function identity, avals) and its jaxpr reused at every call
+        site of the outer trace; without it, each of the V-cycle's up
+        to 12 call sites per kernel instance re-traces the Mosaic
+        lowering (~0.5-1 s per instance at tet-flagship depth) — the
+        dominant share of the 264 s flagship-tet trace+lower
+        (.golden/compile_split.py, VERDICT r03 #3)."""
+        if self._traced is None:
+            self._traced = jax.jit(self.__call__)
+        return self._traced
 
     def __call__(self, q, old, fac, spill=None, arrays=None):
         base = self.base
@@ -620,7 +638,8 @@ class PallasWindowFusedStage:
             args.insert(0, bs)
             nsp = 5
         args += [Xw, arrays["lwins"], arrays["wsel"], arrays["ci"],
-                 arrays["rs"], arrays["w4"], self.nc, old_w, fac_w]
+                 arrays["rs"], arrays["w4"],
+                 arrays.get("nc_fused", self.nc), old_w, fac_w]
         if have_spill:
             in_specs.append(tspec(5))
             args.append(spill_w)
@@ -675,6 +694,7 @@ class PallasWindowFlux:
         self.dtype = jnp.dtype(dtype)
         self.interpret = interpret
         self.mode = mode or ("rw" if rw else "flux")
+        self._traced = None
         # depth buckets (see _depth_buckets): interpret mode keeps the
         # fori_loop single dispatch; callers that swap in plan arrays
         # for a DIFFERENT plan (the sharded per-shard template) must
@@ -689,7 +709,10 @@ class PallasWindowFlux:
             self.wmap_dev = None
         elif bucket and not interpret:
             order, self.buckets = _depth_buckets(plan.layer_count)
-            self.wmap_dev = jnp.asarray(order, jnp.int32)
+            # host constant on purpose: a device-resident closure array
+            # is fetched back at every lowering (~5 s through the
+            # tunnel); 4-9 KB of i32 embeds into the HLO for free
+            self.wmap_dev = np.asarray(order, np.int32)
         else:
             self.buckets = [(0, plan.n_win, plan.l_max)]
             self.wmap_dev = None
@@ -709,6 +732,20 @@ class PallasWindowFlux:
             "rs": jnp.asarray(f(plan.row_sel), jnp.int32),
             "w4": jnp.asarray(f(plan.w4), self.dtype),
         }
+
+
+    @property
+    def traced(self):
+        """jit-wrapped __call__. A nested jit's body is traced ONCE per
+        (function identity, avals) and its jaxpr reused at every call
+        site of the outer trace; without it, each of the V-cycle's up
+        to 12 call sites per kernel instance re-traces the Mosaic
+        lowering (~0.5-1 s per instance at tet-flagship depth) — the
+        dominant share of the 264 s flagship-tet trace+lower
+        (.golden/compile_split.py, VERDICT r03 #3)."""
+        if self._traced is None:
+            self._traced = jax.jit(self.__call__)
+        return self._traced
 
     def __call__(self, q, arrays=None):
         plan = self.plan

@@ -590,9 +590,9 @@ def t_compute_fluxes(lvl: DeviceLevel, q, ff_flux, config):
     deltas, weights, (sa, sb, sw) = lvl.shift
     nl = q.shape[1]
     if config.accumulate == "window" and lvl.window_flux is not None:
-        flux = lvl.window_flux(q, arrays=lvl.window_arrays)
+        flux = lvl.window_flux.traced(q, arrays=lvl.window_arrays)
     elif config.accumulate == "pallas" and lvl.pallas_flux is not None:
-        flux = lvl.pallas_flux(q)
+        flux = lvl.pallas_flux.traced(q)
     elif lvl.shift_wpad_t is not None:
         flux = tops.t_shift_flux_rolled(deltas, lvl.shift_wpad_t, q)
     else:
@@ -629,9 +629,9 @@ def t_indirect_rw(lvl: DeviceLevel, q, config):
 
     deltas, weights, (sa, sb, sw) = lvl.shift
     if config.accumulate == "window" and lvl.window_rw is not None:
-        rw = lvl.window_rw(q, arrays=lvl.window_arrays)
+        rw = lvl.window_rw.traced(q, arrays=lvl.window_arrays)
     elif config.accumulate == "pallas" and lvl.pallas_rw is not None:
-        rw = lvl.pallas_rw(q)
+        rw = lvl.pallas_rw.traced(q)
     elif lvl.shift_wpad_t is not None:
         rw = tops.t_shift_rw_rolled(deltas, lvl.shift_wpad_t, q)
     else:
@@ -668,11 +668,11 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
     rw_token = jnp.zeros((), variables.dtype)
     fused = None
     if config.accumulate == "pallas" and lvl.pallas_fused is not None:
-        fused = lvl.pallas_fused
+        fused = lvl.pallas_fused.traced
     elif config.accumulate == "window" and lvl.window_fused is not None:
         def fused(qq, oo, ff, sp, lvl=lvl):
-            return lvl.window_fused(qq, oo, ff, sp,
-                                    arrays=lvl.window_arrays)
+            return lvl.window_fused.traced(qq, oo, ff, sp,
+                                           arrays=lvl.window_arrays)
     if fused is not None:
         # fused RK stage: ONE kernel launch per stage covers the whole
         # reference sequence flux -> boundary/wall -> time_step ->
@@ -804,7 +804,8 @@ def apply_restrict_padded(fine: DeviceLevel, coarse: DeviceLevel,
     rw_ = fine.restrict_window
     if tstate and rw_ is not None:
         from ..ops import tops
-        mean = rw_["kernel"](vars_f, arrays=rw_["arrays"])  # (5, Pc)
+        mean = rw_["kernel"].traced(vars_f,
+                                    arrays=rw_["arrays"])  # (5, Pc)
         sf = rw_["spill_fine"]
         if sf.shape[0]:
             vals = rw_["spill_w"][None] * vars_f[:, sf]
@@ -836,7 +837,7 @@ def apply_prolong_padded(fine: DeviceLevel, coarse: DeviceLevel,
             # ONE cross-space kernel: wavg directly from the coarse
             # residuals (inv_wsum + coincident folded into the weights —
             # prep/window.build_prolong_window docstring)
-            wavg = ck(res_c, arrays=pw["composed_arrays"])
+            wavg = ck.traced(res_c, arrays=pw["composed_arrays"])
             if pw["cspill_fine"].shape[0]:
                 from ..ops import tops
                 vals = pw["cspill_w"][None] * res_c[:, pw["cspill_coarse"]]
@@ -845,7 +846,7 @@ def apply_prolong_padded(fine: DeviceLevel, coarse: DeviceLevel,
             return vars_f + pw["live"][None] * (res_f - wavg)
         G = res_c[:, pw["parent"]]                   # (5, P) lane gather
         acc = pw["dense_local"][None] * G \
-            + pw["kernel"](G, arrays=pw["arrays"])
+            + pw["kernel"].traced(G, arrays=pw["arrays"])
         sa2 = pw["spill_a2"]
         if sa2.shape[0]:
             from ..ops import tops
@@ -1031,6 +1032,7 @@ def _parametrised(dmesh: DeviceMesh, config: SolverConfig, build):
         return run(state, arrays)
 
     bound.lower = lambda state: run.lower(state, arrays)
+    bound.arrays = arrays        # for AOT probes: compiled(state, arrays)
     return bound
 
 
