@@ -95,6 +95,31 @@ def module_device_times(trace_dir: str) -> dict:
             continue
         stat_names = {k: v.name for k, v in plane.stat_metadata.items()}
         stat_meta = dict(plane.stat_metadata.items())
+        if is_dev:
+            # TPU device planes carry an "XLA Modules" line whose events
+            # ARE module executions, named "jit_<fn>(program_id)", with
+            # the device time in duration_ps or a device_duration_ps
+            # stat — exactly the per-kernel granularity we attribute.
+            for line in plane.lines:
+                if line.name != "XLA Modules":
+                    continue
+                ev_meta = dict(plane.event_metadata.items())
+                for ev in line.events:
+                    name = ev_meta[ev.metadata_id].name \
+                        if ev.metadata_id in ev_meta else ""
+                    module = name.split("(")[0]
+                    if not module:
+                        continue
+                    dur = ev.duration_ps
+                    if not dur:
+                        for st in ev.stats:
+                            if stat_names.get(st.metadata_id) == \
+                                    "device_duration_ps":
+                                dur = st.uint64_value or st.int64_value
+                                break
+                    agg[module]["time_us"] += dur / 1e6
+                    agg[module]["occurrences"] += 1
+            continue
         # NO line filter: XLA:CPU runs big executables on the thunk
         # pool lines but INLINES tiny ones on the calling (python)
         # thread's line; only events carrying an hlo_module stat are
