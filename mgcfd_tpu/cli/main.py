@@ -104,6 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-era options
     p.add_argument("--dtype", default=None,
                    choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--shard-levels", type=int, default=None,
+                   help="with --partitions: how many MG levels are "
+                        "sharded (coarser levels replicate; default 1)")
     p.add_argument("--partitions", type=int, default=None,
                    help="SPMD shards over the device mesh")
     p.add_argument("--monitor", choices=["fused", "instrumented"],
@@ -208,6 +211,8 @@ def main(argv=None) -> int:
         cfg.dtype = args.dtype
     if args.partitions:
         cfg.num_partitions = args.partitions
+    if args.shard_levels is not None:
+        cfg.shard_levels = args.shard_levels
     if args.monitor:
         cfg.monitor_mode = args.monitor
     if args.accumulate:

@@ -115,6 +115,15 @@ class ShardedLevelData:
     # into the SPMD program, per-shard depth-sorted window orders as data
     win_wmap: np.ndarray | None = None     # (P, n_win) i32 sorted order
     win_buckets: list | None = None        # [(start, count, l_max_b)]
+    # when the NEXT level is ALSO sharded (shard_levels > current+1):
+    # restriction targets the coarse level's PADDED block space and
+    # lands on each shard via one psum_scatter; prolongation all_gathers
+    # the small coarse blocks and converts padded -> raw once
+    mgp_pad: np.ndarray | None = None      # (P, Bs) i64: fine node ->
+    # coarse padded-global index (pc*Bc + local), P*Bc = dump slot
+    mgc_counts: np.ndarray | None = None   # (P, Bc) children per coarse
+    mgc_mapped: np.ndarray | None = None   # (P, Bc) bool
+    c_raw2pad: np.ndarray | None = None    # (Nc,) i32 raw -> padded-global
     # sizes
     num_nodes: int = 0
     block: int = 0        # storage width (window-rounded in window mode)
@@ -128,9 +137,15 @@ class ShardedLevelData:
 
 @dataclasses.dataclass
 class ShardedMeshData:
-    level0: ShardedLevelData
-    coarse_levels: list[MeshLevel]   # replicated levels 1..L-1 (host data)
+    # sharded levels 0..S-1 (S = config.shard_levels, crossover-sized:
+    # SCALING.md "Replicated-coarse crossover"); levels S..L-1 replicated
+    levels: list            # list[ShardedLevelData]
+    coarse_levels: list[MeshLevel]   # replicated levels S..L-1 (host data)
     P: int
+
+    @property
+    def level0(self) -> ShardedLevelData:
+        return self.levels[0]
 
 
 def partition_level(lvl: MeshLevel, P: int,
@@ -438,41 +453,90 @@ def _attach_window_plans(sl: ShardedLevelData, lvl: MeshLevel, P: int,
         for p, pl in enumerate(plans)]
 
 
+def _attach_mg(sl: ShardedLevelData, lvl: MeshLevel, coarse: MeshLevel,
+               P: int) -> None:
+    """MG bookkeeping from sharded `lvl` to raw-indexed `coarse` (used
+    when the coarse side is replicated, and for prolongation INTO `lvl`
+    — prolong always consumes raw-width coarse residuals)."""
+    mapping = lvl.mg_mapping
+    assert mapping is not None and mapping.shape[0] == lvl.num_nodes, \
+        "sharded multigrid requires a full fine->coarse mapping"
+    B = sl.part_width
+    Bs = sl.block
+    mg = np.full((P, Bs), coarse.num_nodes, dtype=np.int64)
+    for p in range(P):
+        lo, hi = p * B, min((p + 1) * B, lvl.num_nodes)
+        mg[p, :hi - lo] = mapping[lo:hi]
+    counts = np.bincount(mapping, minlength=coarse.num_nodes).astype(
+        np.float64)
+    sl.mg_mapping = mg
+    sl.mg_counts = counts
+    sl.mg_mapped = counts > 0
+    # coincidence of fine node with its coarse parent (static geometry)
+    coin = np.zeros((P, Bs), dtype=bool)
+    full_coin = np.all(lvl.coords == coarse.coords[mapping], axis=1)
+    for p in range(P):
+        lo, hi = p * B, min((p + 1) * B, lvl.num_nodes)
+        coin[p, :hi - lo] = full_coin[lo:hi]
+    sl.coincident = coin
+    sl.parent = np.minimum(mg, coarse.num_nodes - 1).astype(np.int32)
+    _attach_prolong_geometry(sl, lvl, coarse, full_coin, P)
+
+
+def _attach_mg_padded(sl_f: ShardedLevelData, sl_c: ShardedLevelData,
+                      lvl_f: MeshLevel, P: int) -> None:
+    """Extras for a sharded->SHARDED restriction (VERDICT r03 #4 /
+    SCALING crossover): fine nodes target the coarse level's padded
+    block space so the partial sums land on their owner shard via one
+    psum_scatter; prolongation converts the all_gathered padded blocks
+    back to raw once via c_raw2pad."""
+    mapping = lvl_f.mg_mapping.astype(np.int64)
+    Bc, Wc, Nc = sl_c.block, sl_c.part_width, sl_c.num_nodes
+    pc = np.minimum(mapping // Wc, P - 1)
+    pad = pc * Bc + (mapping - pc * Wc)
+    B, Bs = sl_f.part_width, sl_f.block
+    mgp = np.full((P, Bs), P * Bc, dtype=np.int64)       # dump slot
+    for p in range(P):
+        lo, hi = p * B, min((p + 1) * B, lvl_f.num_nodes)
+        mgp[p, :hi - lo] = pad[lo:hi]
+    counts_raw = np.bincount(mapping, minlength=Nc).astype(np.float64)
+    cc = np.zeros((P, Bc))
+    cm = np.zeros((P, Bc), dtype=bool)
+    for p in range(P):
+        lo, hi = p * Wc, min((p + 1) * Wc, Nc)
+        cc[p, :hi - lo] = counts_raw[lo:hi]
+        cm[p, :hi - lo] = counts_raw[lo:hi] > 0
+    g = np.arange(Nc, dtype=np.int64)
+    pg = np.minimum(g // Wc, P - 1)
+    sl_f.mgp_pad = mgp
+    sl_f.mgc_counts = cc
+    sl_f.mgc_mapped = cm
+    sl_f.c_raw2pad = (pg * Bc + (g - pg * Wc)).astype(np.int32)
+
+
 def partition_mesh(mesh, P: int, use_shift: bool = False,
                    use_window: bool = False,
-                   plan_cache_dir: str = "") -> ShardedMeshData:
-    """Shard the finest level; attach MG bookkeeping to reach the (still
-    replicated) level 1."""
-    lvl0 = mesh.levels[0]
-    sl = partition_level(lvl0, P, use_shift=use_shift,
-                         use_window=use_window,
-                         plan_cache_dir=plan_cache_dir)
-    if mesh.num_levels > 1:
-        coarse = mesh.levels[1]
-        mapping = lvl0.mg_mapping
-        assert mapping is not None and mapping.shape[0] == lvl0.num_nodes, \
-            "sharded multigrid requires a full fine->coarse mapping"
-        B = sl.part_width
-        Bs = sl.block
-        mg = np.full((P, Bs), coarse.num_nodes, dtype=np.int64)
-        for p in range(P):
-            lo, hi = p * B, min((p + 1) * B, lvl0.num_nodes)
-            mg[p, :hi - lo] = mapping[lo:hi]
-        counts = np.bincount(mapping, minlength=coarse.num_nodes).astype(
-            np.float64)
-        sl.mg_mapping = mg
-        sl.mg_counts = counts
-        sl.mg_mapped = counts > 0
-        # coincidence of fine node with its coarse parent (static geometry)
-        coin = np.zeros((P, Bs), dtype=bool)
-        full_coin = np.all(lvl0.coords == coarse.coords[mapping], axis=1)
-        for p in range(P):
-            lo, hi = p * B, min((p + 1) * B, lvl0.num_nodes)
-            coin[p, :hi - lo] = full_coin[lo:hi]
-        sl.coincident = coin
-        sl.parent = np.minimum(mg, coarse.num_nodes - 1).astype(np.int32)
-        _attach_prolong_geometry(sl, lvl0, coarse, full_coin, P)
-    return ShardedMeshData(level0=sl, coarse_levels=mesh.levels[1:], P=P)
+                   plan_cache_dir: str = "",
+                   shard_levels: int = 1) -> ShardedMeshData:
+    """Shard levels 0..S-1 (S = min(shard_levels, L-1) but at least 1);
+    attach MG bookkeeping per sharded level. Levels S.. stay replicated
+    (the crossover rule: replicate a level only when its whole-level
+    time is under the ~30-60 us collective floor; SCALING.md)."""
+    L = mesh.num_levels
+    S = max(1, min(shard_levels, max(1, L - 1)))
+    slevels = []
+    for i in range(S):
+        sl = partition_level(mesh.levels[i], P, use_shift=use_shift,
+                             use_window=use_window,
+                             plan_cache_dir=plan_cache_dir)
+        slevels.append(sl)
+    for i, sl in enumerate(slevels):
+        if i + 1 < L:
+            _attach_mg(sl, mesh.levels[i], mesh.levels[i + 1], P)
+        if i + 1 < S:
+            _attach_mg_padded(sl, slevels[i + 1], mesh.levels[i], P)
+    return ShardedMeshData(levels=slevels, coarse_levels=mesh.levels[S:],
+                           P=P)
 
 
 def _attach_prolong_geometry(sl: ShardedLevelData, lvl0: MeshLevel,

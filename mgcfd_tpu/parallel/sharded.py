@@ -312,6 +312,34 @@ def _sharded_prolong(sd, const, res_coarse, res_fine, vars_fine):
     return vars_fine + (res_fine - wavg)
 
 
+def _sharded_restrict_to_sharded(sd_f, const_f, vars_f_block,
+                                 vars_c_block):
+    """Fine (sharded) -> coarse (ALSO sharded, SCALING.md crossover):
+    partial segment-sums target the coarse level's PADDED block space
+    and ONE psum_scatter lands each shard its own coarse block — the
+    coarse level is never replicated."""
+    P = sd_f.P
+    Bc = vars_c_block.shape[0]
+    partial = jax.ops.segment_sum(vars_f_block, const_f["mgp_pad"],
+                                  num_segments=P * Bc + 1)[:P * Bc]
+    sums = jax.lax.psum_scatter(
+        partial.reshape(P, Bc, NVAR), AXIS,
+        scatter_dimension=0)                       # (Bc, NVAR) own block
+    counts = const_f["mgc_counts"]
+    mapped = const_f["mgc_mapped"]
+    safe = jnp.where(mapped, counts, jnp.ones_like(counts))
+    return jnp.where(mapped[:, None], sums / safe[:, None], vars_c_block)
+
+
+def _gather_coarse_raw(sd_c, const_f, res_c_block):
+    """All_gather the (small) sharded coarse residual blocks and convert
+    padded-global -> raw node order once, so raw-indexed prolongation
+    geometry (_sharded_prolong) applies unchanged. Cost: one gather of
+    Nc*NVAR — the coarse level is ~8x smaller than its fine level."""
+    allb = jax.lax.all_gather(res_c_block, AXIS)   # (P, Bc, NVAR)
+    return allb.reshape(sd_c.P * sd_c.block, NVAR)[const_f["c_raw2pad"]]
+
+
 def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
     """Device constants for the sharded fine level, shared by the fused
     cycle and the instrumented sharded solver: (sharded_const stacked
@@ -395,43 +423,68 @@ def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
             "pro_dest_a": to_dev(sd.pro_dest_a, jnp.int32),
             "pro_dest_b": to_dev(sd.pro_dest_b, jnp.int32),
         })
+    if sd.mgp_pad is not None:
+        # next level is ALSO sharded: padded-space restriction targets
+        # + per-coarse-block counts (see partition._attach_mg_padded)
+        sharded_const.update({
+            "mgp_pad": to_dev(sd.mgp_pad, jnp.int32),
+            "mgc_counts": to_dev(sd.mgc_counts),
+            "mgc_mapped": jnp.asarray(sd.mgc_mapped),
+        })
     # ... and replicated constants
     replicated_const = {}
     if sd.mg_counts is not None:
         replicated_const["mg_counts"] = to_dev(sd.mg_counts)
         replicated_const["mg_mapped"] = jnp.asarray(sd.mg_mapped)
+    if sd.c_raw2pad is not None:
+        replicated_const["c_raw2pad"] = to_dev(sd.c_raw2pad, jnp.int32)
     return sharded_const, replicated_const, wkernels
 
 
 def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
                           config: SolverConfig, mesh: Mesh,
                           legacy: bool):
-    """Build the jitted sharded V-cycle. dmesh_coarse: DeviceMesh-style
-    levels for the replicated coarse hierarchy (index 0 = level 1)."""
-    sd = smesh.level0
+    """Build the jitted sharded V-cycle over S sharded levels
+    (smesh.levels) + the replicated coarse chain (dmesh_coarse,
+    index 0 = global level S). The S=1 shape is the round-3 design;
+    S>=2 shards the first coarse level(s) too (SCALING.md crossover:
+    level 1 carries ~20% of the cycle and replicating it Amdahl-caps
+    the sharded speedup ~3x at P=8)."""
     dtype = jnp.dtype(config.dtype)
     ff_flux = jnp.asarray(np.asarray(far_field_state(np.float64)[1]), dtype)
-    sharded_const, replicated_const, wkernels = build_sharded_consts(
-        sd, config, dtype, mesh)
+    S = len(smesh.levels)
+    sh_all, rep_all = {}, {}
+    wk_list = []
+    for i, sdl in enumerate(smesh.levels):
+        cs, cr, wk = build_sharded_consts(sdl, config, dtype, mesh)
+        sh_all.update({f"L{i}_{k}": v for k, v in cs.items()})
+        rep_all.update({f"L{i}_{k}": v for k, v in cr.items()})
+        wk_list.append(wk)
 
-    L = 1 + len(dmesh_coarse)
+    L = S + len(dmesh_coarse)
 
     def cycle(const_sh, const_rep, state):
         # sharded constants arrive with a leading shard axis of size 1
-        const = {k: v[0] for k, v in const_sh.items()}
-        const.update(const_rep)
-        vars_f = state["variables0"]
-        res_f = state["residuals0"]
+        const_l = []
+        for i in range(S):
+            pre = f"L{i}_"
+            c = {k[len(pre):]: v[0] for k, v in const_sh.items()
+                 if k.startswith(pre)}
+            c.update({k[len(pre):]: v for k, v in const_rep.items()
+                      if k.startswith(pre)})
+            const_l.append(c)
+        vars_s = [state["variables0"]] + list(state["variables_sx"])
+        res_s = [state["residuals0"]] + list(state["residuals_sx"])
         vars_c = list(state["variables_c"])
         res_c = list(state["residuals_c"])
 
         invalid_total = jnp.int32(0)
 
-        def visit_fine(v):
+        def visit_sharded(i, v):
             nonlocal invalid_total
-            v, old, r, inv, _tok = _sharded_visit(sd, const, v, ff_flux,
-                                                  legacy, dtype, config,
-                                                  wkernels=wkernels)
+            v, old, r, inv, _tok = _sharded_visit(
+                smesh.levels[i], const_l[i], v, ff_flux, legacy, dtype,
+                config, wkernels=wk_list[i])
             invalid_total = invalid_total + inv
             return v, r
 
@@ -443,22 +496,36 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
             invalid_total = invalid_total + inv
             return v, r
 
-        # --- up sweep ---
-        vars_f, res_f = visit_fine(vars_f)
-        sq = jnp.sum(res_f * res_f * const["node_mask"][:, None])
-        rms = jnp.sqrt(jax.lax.psum(sq, AXIS) / sd.num_nodes)
+        # --- up sweep over sharded levels ---
+        rms = None
+        for i in range(S):
+            vars_s[i], res_s[i] = visit_sharded(i, vars_s[i])
+            if i == 0:
+                sq = jnp.sum(res_s[0] * res_s[0]
+                             * const_l[0]["node_mask"][:, None])
+                rms = jnp.sqrt(jax.lax.psum(sq, AXIS)
+                               / smesh.levels[0].num_nodes)
+            if i + 1 < S:
+                vars_s[i + 1] = _sharded_restrict_to_sharded(
+                    smesh.levels[i], const_l[i], vars_s[i],
+                    vars_s[i + 1])
+            elif L > S:
+                vars_c[0] = _sharded_restrict(
+                    smesh.levels[i], const_l[i], vars_s[i], vars_c[0])
 
-        if L > 1:
-            vars_c[0] = _sharded_restrict(sd, const, vars_f, vars_c[0])
-            for i in range(L - 2):
+        C = L - S                       # replicated level count
+        if C > 0:
+            # --- replicated chain up ---
+            for i in range(C - 1):
                 vars_c[i], res_c[i] = visit_coarse(i, vars_c[i])
                 vars_c[i + 1] = mg_restrict(
                     vars_c[i], vars_c[i + 1], dmesh_coarse[i].mg_mapping,
                     dmesh_coarse[i + 1].num_nodes)
             # top level
-            vars_c[L - 2], res_c[L - 2] = visit_coarse(L - 2, vars_c[L - 2])
+            vars_c[C - 1], res_c[C - 1] = visit_coarse(C - 1,
+                                                       vars_c[C - 1])
             # --- down sweep over replicated levels ---
-            for i in range(L - 3, -1, -1):
+            for i in range(C - 2, -1, -1):
                 fine = dmesh_coarse[i]
                 coarse = dmesh_coarse[i + 1]
                 vars_c[i] = prolong_residuals_interpolate(
@@ -466,16 +533,34 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
                     fine.mg_mapping, coarse.coords, fine.coords,
                     fine.edge_a, fine.edge_b)
                 vars_c[i], res_c[i] = visit_coarse(i, vars_c[i])
-            # --- prolong back to the sharded fine level ---
-            vars_f = _sharded_prolong(sd, const, res_c[0], res_f, vars_f)
 
-        new_state = {"variables0": vars_f, "residuals0": res_f,
+        # --- down sweep over sharded levels (prolong/visit pairs;
+        # level 0 is prolonged into but next visited at cycle start,
+        # the reference walk) ---
+        if L > 1:
+            for i in range(S - 1, -1, -1):
+                if i + 1 < S:
+                    res_above = _gather_coarse_raw(
+                        smesh.levels[i + 1], const_l[i], res_s[i + 1])
+                else:
+                    res_above = res_c[0]
+                vars_s[i] = _sharded_prolong(
+                    smesh.levels[i], const_l[i], res_above, res_s[i],
+                    vars_s[i])
+                if i > 0:
+                    vars_s[i], res_s[i] = visit_sharded(i, vars_s[i])
+
+        new_state = {"variables0": vars_s[0], "residuals0": res_s[0],
+                     "variables_sx": vars_s[1:],
+                     "residuals_sx": res_s[1:],
                      "variables_c": vars_c, "residuals_c": res_c}
         return new_state, rms, invalid_total
 
     state_spec = {
         "variables0": P(AXIS), "residuals0": P(AXIS),
-        "variables_c": [P()] * (L - 1), "residuals_c": [P()] * (L - 1),
+        "variables_sx": [P(AXIS)] * (S - 1),
+        "residuals_sx": [P(AXIS)] * (S - 1),
+        "variables_c": [P()] * (L - S), "residuals_c": [P()] * (L - S),
     }
     shmapped = jax.shard_map(
         cycle, mesh=mesh,
@@ -486,9 +571,9 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
 
     @jax.jit
     def step(state):
-        return shmapped(sharded_const, replicated_const, state)
+        return shmapped(sh_all, rep_all, state)
 
-    return step, wkernels
+    return step, wk_list[0]
 
 
 class ShardedSolver:
@@ -523,16 +608,18 @@ class ShardedSolver:
         self.smesh = partition_mesh(
             conditioned, P_, use_shift=config.accumulate == "shift",
             use_window=config.accumulate in ("window", "pallas"),
-            plan_cache_dir=config.plan_cache_dir)
+            plan_cache_dir=config.plan_cache_dir,
+            shard_levels=config.shard_levels)
+        S = len(self.smesh.levels)
         # replicated coarse hierarchy as single-chip DeviceMesh levels;
         # edge weights are already conditioned, so present them under a
         # variant with no damping to avoid double application:
         dmesh_coarse = []
-        if conditioned.num_levels > 1:
+        if conditioned.num_levels > S:
             from ..core.constants import MeshVariant
             import dataclasses as _dc2
             no_recondition = MultigridMesh(
-                levels=conditioned.levels[1:], variant=MeshVariant.FVCORR)
+                levels=conditioned.levels[S:], variant=MeshVariant.FVCORR)
             # replicated coarse levels run the shift path even when the
             # fine level's config says pallas/window: those kernels
             # lane-pad the state, and the sharded coarse state is built
@@ -549,11 +636,18 @@ class ShardedSolver:
         ff_q = jnp.asarray(np.asarray(far_field_state(np.float64)[0]), dtype)
         sd = self.smesh.level0
         with self.jmesh:
+            def sblock(sl):
+                return jnp.tile(ff_q[None, None, :],
+                                (P_, sl.block, 1)).reshape(
+                    P_ * sl.block, NVAR)
+
             self.state = {
-                "variables0": jnp.tile(ff_q[None, None, :],
-                                       (P_, sd.block, 1)).reshape(
-                    P_ * sd.block, NVAR),
+                "variables0": sblock(sd),
                 "residuals0": jnp.zeros((P_ * sd.block, NVAR), dtype),
+                "variables_sx": [sblock(sl)
+                                 for sl in self.smesh.levels[1:]],
+                "residuals_sx": [jnp.zeros((P_ * sl.block, NVAR), dtype)
+                                 for sl in self.smesh.levels[1:]],
                 "variables_c": [jnp.tile(ff_q[None, :], (l.num_nodes, 1))
                                 for l in dmesh_coarse],
                 "residuals_c": [jnp.zeros((l.num_nodes, NVAR), dtype)
@@ -576,43 +670,57 @@ class ShardedSolver:
                     load_checkpoint(path, mgmesh, dtype)
                 self._install_node_major(st)
 
-    def _reassemble(self, arr) -> np.ndarray:
+    def _reassemble(self, arr, level: int = 0) -> np.ndarray:
         """(P*Bs, NVAR) stacked blocks -> (num_nodes, NVAR) node-major
         (drops each block's window-rounding tail)."""
-        sd = self.smesh.level0
+        sd = self.smesh.levels[level]
         v = np.asarray(arr).reshape(sd.P, sd.block, NVAR)
         parts = [v[p, :max(0, min((p + 1) * sd.part_width, sd.num_nodes)
                            - p * sd.part_width)] for p in range(sd.P)]
         return np.concatenate(parts, axis=0)
 
+    def _sharded_state(self, kind: str) -> list:
+        head = [self.state[kind + "0"]]
+        return head + list(self.state[kind + "_sx"])
+
     def _state_node_major(self) -> dict:
-        """Checkpoint view: per-level node-major arrays, level 0 first."""
+        """Checkpoint view: per-level node-major arrays, level 0 first
+        (sharded levels reassembled, replicated levels as-is)."""
         return {
-            "variables": [self._reassemble(self.state["variables0"])]
+            "variables": [self._reassemble(a, i) for i, a in
+                          enumerate(self._sharded_state("variables"))]
             + [np.asarray(v) for v in self.state["variables_c"]],
-            "residuals": [self._reassemble(self.state["residuals0"])]
+            "residuals": [self._reassemble(a, i) for i, a in
+                          enumerate(self._sharded_state("residuals"))]
             + [np.asarray(r) for r in self.state["residuals_c"]],
         }
 
     def _install_node_major(self, st: dict) -> None:
-        """Inverse of _state_node_major: split level 0 into per-shard
-        storage blocks (tails keep their init fill) and install."""
-        sd = self.smesh.level0
+        """Inverse of _state_node_major: split each sharded level into
+        per-shard storage blocks (tails keep their init fill) and
+        install."""
         dtype = jnp.dtype(self.config.dtype)
-        for key, target in (("variables", "variables0"),
-                            ("residuals", "residuals0")):
-            full = np.array(self.state[target]).reshape(
-                sd.P, sd.block, NVAR)
-            src = np.asarray(st[key][0])
+        S = len(self.smesh.levels)
+
+        def split(sd, current, src):
+            full = np.array(current).reshape(sd.P, sd.block, NVAR)
             for p in range(sd.P):
                 lo = p * sd.part_width
                 hi = min(lo + sd.part_width, sd.num_nodes)
                 full[p, :hi - lo] = src[lo:hi]
             with self.jmesh:
-                self.state[target] = jnp.asarray(
-                    full.reshape(sd.P * sd.block, NVAR), dtype)
-            self.state[target.replace("0", "_c")] = [
-                jnp.asarray(a, dtype) for a in st[key][1:]]
+                return jnp.asarray(full.reshape(sd.P * sd.block, NVAR),
+                                   dtype)
+
+        for key, target in (("variables", "variables"),
+                            ("residuals", "residuals")):
+            blocks = [split(self.smesh.levels[i],
+                            self._sharded_state(target)[i],
+                            np.asarray(st[key][i])) for i in range(S)]
+            self.state[target + "0"] = blocks[0]
+            self.state[target + "_sx"] = blocks[1:]
+            self.state[target + "_c"] = [
+                jnp.asarray(a, dtype) for a in st[key][S:]]
 
     def run(self, cycles: int, verbose: bool = False):
         ck_every = self.config.checkpoint_every
@@ -696,18 +804,13 @@ class ShardedSolver:
         return self.state
 
     def variables(self, level: int = 0) -> np.ndarray:
-        if level == 0:
-            sd = self.smesh.level0
+        S = len(self.smesh.levels)
+        if level < S:
             # per-shard storage blocks may carry window-rounding padding
             # at their tails: reassemble by partition width
-            v = np.asarray(self.state["variables0"]).reshape(
-                sd.P, sd.block, NVAR)
-            parts = [v[p, :max(0, min((p + 1) * sd.part_width,
-                                      sd.num_nodes)
-                               - p * sd.part_width)]
-                     for p in range(sd.P)]
-            return np.concatenate(parts, axis=0)
-        return np.asarray(self.state["variables_c"][level - 1])
+            return self._reassemble(
+                self._sharded_state("variables")[level], level)
+        return np.asarray(self.state["variables_c"][level - S])
 
 
 def dryrun(n_devices: int) -> None:
@@ -733,13 +836,15 @@ def dryrun(n_devices: int) -> None:
         solver.run(cycles=1)
         # production windowed-gather kernel sharded: a mesh wide enough
         # that several shards carry real windows and cross-shard halves
-        spec_w = FlagshipSpec(nx=16, ny=12, nz=12, num_levels=2)
+        spec_w = FlagshipSpec(nx=16, ny=12, nz=12, num_levels=3)
         cfg_w = SolverConfig(dtype="float32", num_partitions=n_devices,
                              accumulate="window",
-                             include_indirect_rw=True)
+                             include_indirect_rw=True,
+                             shard_levels=2)
         solver_w = ShardedSolver(flagship_mesh(spec_w), cfg_w,
                                  devices=devices[:n_devices])
         solver_w.run(cycles=1)
+        assert len(solver_w.smesh.levels) == 2
     assert np.isfinite(solver.rms_history[-1])
     assert np.isfinite(solver_w.rms_history[-1])
     assert solver_w.smesh.level0.win_arrays is not None

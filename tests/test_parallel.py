@@ -341,3 +341,58 @@ def test_shared_depth_buckets_properties():
         for p in range(4):
             assert lcs[p][orders[p]][s:s + c].max() <= lm
     assert covered == 64
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+@pytest.mark.parametrize("acc", ["segment", "window"])
+def test_sharded_two_level_matches_single_chip(acc):
+    """shard_levels=2 (SCALING.md crossover: level 1 carries ~20% of
+    the tet cycle — replicating it Amdahl-caps the speedup): level 1
+    runs the same per-shard machinery as level 0, restriction lands on
+    coarse owner blocks via one psum_scatter, prolongation all_gathers
+    the small coarse blocks. Must match the single-chip solver on both
+    sharded levels AND the still-replicated level 2."""
+    mesh = generate_multigrid_box(16, 12, 12, 3, h=(0.1, 0.1, 0.1),
+                                  volume_jitter=0.2)
+    ref = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    ref.run(cycles=3)
+    sh = ShardedSolver(mesh, SolverConfig(dtype="float64",
+                                          num_partitions=4,
+                                          accumulate=acc,
+                                          shard_levels=2))
+    assert len(sh.smesh.levels) == 2
+    if acc == "window":
+        assert sh.smesh.levels[1].win_arrays is not None
+    sh.run(cycles=3)
+    for lvl in range(3):
+        np.testing.assert_allclose(sh.variables(lvl), ref.variables(lvl),
+                                   rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(sh.rms_history, ref.rms_history,
+                               rtol=1e-8)
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+def test_sharded_two_level_checkpoint_portable(tmp_path):
+    """Checkpoints stay node-major and portable: write from a
+    shard_levels=2 run, resume single-chip, and land on the
+    uninterrupted two-level run bitwise."""
+    mesh = generate_multigrid_box(12, 10, 10, 3, h=(0.1, 0.1, 0.1))
+    cfg = dict(dtype="float64", num_partitions=4, accumulate="segment",
+               shard_levels=2)
+    a = ShardedSolver(mesh, SolverConfig(**cfg))
+    a.run(cycles=4)
+
+    ck = str(tmp_path / "ck")
+    b = ShardedSolver(mesh, SolverConfig(**cfg, checkpoint_dir=ck,
+                                         checkpoint_every=2))
+    b.run(cycles=2)
+    c = ShardedSolver(mesh, SolverConfig(**cfg, checkpoint_dir=ck,
+                                         resume=True))
+    assert c.completed_cycles == 2
+    c.run(cycles=2)
+    for lvl in range(3):
+        np.testing.assert_array_equal(c.variables(lvl), a.variables(lvl))
+    # and the same checkpoint resumes a SINGLE-CHIP run to the same state
+    d = MGCFDSolver(mesh, SolverConfig(dtype="float64",
+                                       checkpoint_dir=ck, resume=True))
+    assert d.completed_cycles == 2
