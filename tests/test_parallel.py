@@ -344,7 +344,7 @@ def test_shared_depth_buckets_properties():
 
 
 @pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
-@pytest.mark.parametrize("acc", ["segment", "window"])
+@pytest.mark.parametrize("acc", ["segment", "shift", "window"])
 def test_sharded_two_level_matches_single_chip(acc):
     """shard_levels=2 (SCALING.md crossover: level 1 carries ~20% of
     the tet cycle — replicating it Amdahl-caps the speedup): level 1
