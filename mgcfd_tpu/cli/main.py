@@ -59,6 +59,8 @@ def read_config_file(path: str, cfg: SolverConfig) -> None:
                 cfg.dtype = value
             elif key == "partitions":
                 cfg.num_partitions = int(value)
+            elif key == "shard_levels":
+                cfg.shard_levels = int(value)
             elif key == "papi_config_file":
                 cfg.event_config_file = (
                     value if value.startswith("/")
@@ -106,7 +108,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "float64", "bfloat16"])
     p.add_argument("--shard-levels", type=int, default=None,
                    help="with --partitions: how many MG levels are "
-                        "sharded (coarser levels replicate; default 1)")
+                        "sharded (coarser levels replicate; default 1; "
+                        "0 = auto by the SCALING.md crossover rule)")
     p.add_argument("--partitions", type=int, default=None,
                    help="SPMD shards over the device mesh")
     p.add_argument("--monitor", choices=["fused", "instrumented"],

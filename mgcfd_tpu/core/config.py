@@ -89,9 +89,10 @@ class SolverConfig:
     check_invalid_every: int = 1      # host-side NaN-guard cadence (cycles)
     num_partitions: int = 1           # SPMD shards (parallel/)
     shard_levels: int = 1             # MG levels sharded (0..S-1);
-    # coarser levels replicate. The crossover rule (SCALING.md): shard
-    # a level while its whole-level time exceeds the ~30-60 us
-    # collective floor — level 1 qualifies at flagship scale.
+    # coarser levels replicate. 0 = AUTO: shard while a level still has
+    # >= 4096 nodes per shard (the crossover rule, SCALING.md: shard a
+    # level while its whole-level time exceeds the ~30-60 us collective
+    # floor — level 1 qualifies at flagship scale, level 3 never does).
     monitor_mode: str = "fused"       # 'fused' | 'instrumented'
 
     def validate(self) -> None:

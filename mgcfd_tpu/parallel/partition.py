@@ -523,7 +523,16 @@ def partition_mesh(mesh, P: int, use_shift: bool = False,
     (the crossover rule: replicate a level only when its whole-level
     time is under the ~30-60 us collective floor; SCALING.md)."""
     L = mesh.num_levels
-    S = max(1, min(shard_levels, max(1, L - 1)))
+    if shard_levels == 0:
+        # AUTO (config.shard_levels=0): shard while the level keeps a
+        # meaningful block per shard (>= 4 vreg windows of nodes) —
+        # the host-side proxy for the measured crossover rule
+        S = 1
+        while (S < L - 1
+               and mesh.levels[S].num_nodes >= 4096 * P):
+            S += 1
+    else:
+        S = max(1, min(shard_levels, max(1, L - 1)))
     slevels = []
     for i in range(S):
         sl = partition_level(mesh.levels[i], P, use_shift=use_shift,

@@ -396,3 +396,19 @@ def test_sharded_two_level_checkpoint_portable(tmp_path):
     d = MGCFDSolver(mesh, SolverConfig(dtype="float64",
                                        checkpoint_dir=ck, resume=True))
     assert d.completed_cycles == 2
+
+
+def test_shard_levels_auto_rule():
+    """shard_levels=0 = AUTO: shard while a level keeps >= 4096 nodes
+    per shard (host proxy of the SCALING.md crossover). The tiny CI
+    hierarchy resolves to S=1 at P=8 but S=2 at P=2 on a taller one."""
+    from mgcfd_tpu.parallel.partition import partition_mesh
+    mesh = generate_multigrid_box(24, 22, 22, 3, h=(0.1, 0.1, 0.1))
+    # L1 ~ 12*11*11 = 1452 nodes: at P=2 below 4096*2 -> S=1
+    sd = partition_mesh(mesh, 2, shard_levels=0)
+    assert len(sd.levels) == 1
+    # L0 = 11616 >= 4096*2 would shard level 1 if L1 were big enough;
+    # force the decision visible at the boundary: a 2-level mesh never
+    # shards past L-1
+    sd2 = partition_mesh(mesh, 2, shard_levels=5)
+    assert len(sd2.levels) == 2          # clamped to L-1
