@@ -522,6 +522,18 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
                                   a2[live_nb]])
         nbr_c = np.concatenate([mapping.astype(np.int64), b1[live_nb]])
         w_c = np.concatenate([dense_w, B1[live_nb] * inv[a2[live_nb]]])
+        # COLLAPSE duplicate (fine, parent) pairs (round 4): under 8:1
+        # coarsening many of a fine node's neighbors share a parent, so
+        # the raw half list repeats pairs — each repeat costs a packed
+        # slot, and prolong slots are the expensive kind (destination-
+        # pinned packing: depth = max PAIR count per node). Summing the
+        # weights at build time (fp64, exact) shrinks the half list and
+        # the depth tail before packing ever sees them.
+        key = owner_c * np.int64(num_coarse_pad) + nbr_c
+        uniq, idx = np.unique(key, return_inverse=True)
+        w_c = np.bincount(idx, weights=w_c)
+        owner_c = (uniq // num_coarse_pad).astype(np.int64)
+        nbr_c = (uniq % num_coarse_pad).astype(np.int64)
         cplan, cok = build_halfedge_plan(
             num_fine_pad or n, owner_c, nbr_c, w_c[:, None], l_cap=l_cap,
             num_nbr_nodes=num_coarse_pad, node_map=node_map)

@@ -419,7 +419,10 @@ def prepare_device_mesh(mesh: MultigridMesh, config: SolverConfig,
                     config.plan_cache_dir, "prolong",
                     (fine.edge_a, fine.edge_b, fine.coords,
                      coarse.coords, fine.mg_mapping,
-                     np.asarray([fine_pad, coarse_pad]),
+                     # trailing entry = ALGORITHM version: bump when
+                     # build_prolong_window changes what it packs
+                     # (v2 = duplicate (fine, parent) pairs collapsed)
+                     np.asarray([fine_pad, coarse_pad, 2]),
                      np.frombuffer(win_node_map.encode(), np.uint8)),
                     lambda fine=fine, coarse=coarse:
                     build_prolong_window(fine, coarse,
