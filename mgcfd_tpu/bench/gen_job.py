@@ -83,9 +83,10 @@ def estimate_walltime(unit: float, cycles: int, multi: int,
 
 
 def job_name(dtype: str, acc: str, flags: tuple[str, ...],
-             parts: int, repeat: int) -> str:
+             parts: int, repeat: int, shard_levels: int = 1) -> str:
     f = ".".join(sorted(flags)) if flags else "noflags"
-    return f"{dtype}.{acc}.{f}.P{parts}.r{repeat}"
+    sl = f".S{shard_levels}" if shard_levels != 1 else ""
+    return f"{dtype}.{acc}.{f}.P{parts}{sl}.r{repeat}"
 
 
 def generate_jobs(profile_path: str, repo_root: str | None = None) -> str:
@@ -99,12 +100,19 @@ def generate_jobs(profile_path: str, repo_root: str | None = None) -> str:
     os.makedirs(jobs_dir, exist_ok=True)
 
     job_dirs = []
+    # sharded-MG depth axis ("shard levels", default [1]; 0 = auto by
+    # the SCALING.md crossover rule) — only meaningful with parts > 1,
+    # so single-chip jobs prune the axis to avoid duplicates
+    slevels_all = run.get("shard levels", [1])
     for dtype, acc, parts in itertools.product(
             comp["dtypes"], comp["accumulate"], run["partitions"]):
-      for flags in flag_sets(comp["flux flags"],
-                             comp["min flag set size"], acc):
+      slevels = slevels_all if parts > 1 else [1]
+      for sl in slevels:
+       for flags in flag_sets(comp["flux flags"],
+                              comp["min flag set size"], acc):
         for repeat in range(run["num repeats"]):
-            name = job_name(dtype, acc, flags, parts, repeat)
+            name = job_name(dtype, acc, flags, parts, repeat,
+                            shard_levels=sl)
             jdir = os.path.join(jobs_dir, name)
             os.makedirs(jdir, exist_ok=True)
 
@@ -141,6 +149,8 @@ def generate_jobs(profile_path: str, repo_root: str | None = None) -> str:
                         os.path.join(jobs_dir, "xlacache")]
             if parts > 1:
                 cli += ["--partitions", str(parts)]
+                if sl != 1:
+                    cli += ["--shard-levels", str(sl)]
             if run.get("platform"):
                 cli += ["--platform", run["platform"]]
             if run.get("validate"):

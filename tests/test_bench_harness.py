@@ -158,3 +158,31 @@ def test_device_peaks_lookup():
     assert fl == 197e12 and bw == 819e9
     assert device_peaks("TPU v5p")[1] == 2765e9
     assert device_peaks("cpu") == (0.0, 0.0)
+
+
+def test_shard_levels_sweep_axis(tmp_path):
+    """`"run": {"shard levels": [...]}` sweeps the sharded-MG depth
+    (pruned on single-chip jobs where it is meaningless)."""
+    profile = {
+        "compile": {"dtypes": ["float64"], "accumulate": ["segment"],
+                    "flux flags": []},
+        "run": {"partitions": [1, 2], "shard levels": [1, 2],
+                "num repeats": 1, "mg cycles": 1, "platform": "cpu"},
+        "setup": {"jobs dir": str(tmp_path / "jobs"),
+                  "synthetic": "5,5,5,2"},
+    }
+    ppath = tmp_path / "profile.json"
+    ppath.write_text(json.dumps(profile))
+    jobs_dir = generate_jobs(str(ppath), repo_root=os.getcwd())
+    job_dirs = sorted(d for d in os.listdir(jobs_dir)
+                      if os.path.isdir(os.path.join(jobs_dir, d)))
+    # P1 -> one job (axis pruned); P2 -> S1 + S2
+    assert len(job_dirs) == 3
+    assert any(".P2.S2." in d or ".P2.S2" in d for d in job_dirs) or \
+        any("S2" in d for d in job_dirs)
+    s2 = [d for d in job_dirs if "S2" in d]
+    assert len(s2) == 1
+    script = open(os.path.join(jobs_dir, s2[0], "run.sh")).read()
+    assert "--shard-levels 2" in script
+    p1 = [d for d in job_dirs if ".P1." in d]
+    assert len(p1) == 1
