@@ -70,8 +70,18 @@ def test_single_level_matches_reference_binary(tmp_path, variant, cycles):
     assert identify_differences(solver.variables(0), ref, variant) == 0
 
 
-def test_multigrid_matches_reference_binary(tmp_path):
+@pytest.mark.parametrize("variant", [
+    MeshVariant.M6_WING,
+    # the two otherwise-untested conditioned variants (VERDICT r04 #5):
+    # their dampen factors (1e-7 / 2e-7) and the adjust-then-dampen
+    # sequencing (euler3d_cpu_double.cpp:333-352) are exactly what this
+    # end-to-end compare catches
+    MeshVariant.LA_CASCADE,
+    MeshVariant.ROTOR_37,
+])
+def test_multigrid_matches_reference_binary(tmp_path, variant):
     mesh = generate_multigrid_box(8, 8, 8, 3, h=(0.1, 0.1, 0.1),
+                                  variant=variant,
                                   volume_jitter=0.2, seed=9)
     _write_dataset(tmp_path, mesh)
     ref = _run_reference(tmp_path, 4).reshape(
