@@ -17,7 +17,8 @@ import re
 import sys
 
 P = int(sys.argv[1])
-TET = len(sys.argv) > 2 and sys.argv[2] == "tet"
+TET = "tet" in sys.argv[2:]
+TWO_D = "2d" in sys.argv[2:]
 os.environ.setdefault("XLA_FLAGS",
                       f"--xla_force_host_platform_device_count={P}")
 
@@ -45,7 +46,7 @@ else:
 
 sh = ShardedSolver(mesh, SolverConfig(
     dtype="float32", accumulate="window", include_indirect_rw=False,
-    num_partitions=P,
+    num_partitions=P, partition_2d="auto" if TWO_D else "",
     plan_cache_dir=f".golden/psweep/{'tet' if TET else 'box'}"))
 sd = sh.smesh.level0
 
@@ -75,6 +76,7 @@ for op in ("all-gather", "all-reduce", "reduce-scatter",
 stats = sd.win_stats or []
 doc = {
     "P": P,
+    "decomp": "2d" if TWO_D else "1d",
     "mesh": "tet-flagship" if TET else "box-flagship",
     "edges": int(mesh.levels[0].num_internal_edges),
     "block": int(sd.block),

@@ -61,6 +61,8 @@ def read_config_file(path: str, cfg: SolverConfig) -> None:
                 cfg.num_partitions = int(value)
             elif key == "shard_levels":
                 cfg.shard_levels = int(value)
+            elif key == "partition_2d":
+                cfg.partition_2d = value
             elif key == "papi_config_file":
                 cfg.event_config_file = (
                     value if value.startswith("/")
@@ -112,6 +114,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "0 = auto by the SCALING.md crossover rule)")
     p.add_argument("--partitions", type=int, default=None,
                    help="SPMD shards over the device mesh")
+    p.add_argument("--partition-2d", default=None, metavar="PXxPY|auto",
+                   help="with --partitions: 2-D tile decomposition of "
+                        "the sharded levels instead of 1-D slabs "
+                        "('auto' = near-square); pays off where slab "
+                        "separators stop scaling (P >~ 16)")
     p.add_argument("--monitor", choices=["fused", "instrumented"],
                    default=None, help="per-kernel timing mode")
     p.add_argument("--synthetic", default=None, metavar="NX,NY,NZ,L",
@@ -216,6 +223,8 @@ def main(argv=None) -> int:
         cfg.num_partitions = args.partitions
     if args.shard_levels is not None:
         cfg.shard_levels = args.shard_levels
+    if args.partition_2d is not None:
+        cfg.partition_2d = args.partition_2d
     if args.monitor:
         cfg.monitor_mode = args.monitor
     if args.accumulate:
@@ -311,9 +320,33 @@ def main(argv=None) -> int:
             measured = measure_instrumented(solver)
             print(f"Measured device time captured for {len(measured)} "
                   f"kernels (XPROF_* rows of XLACosts.csv)")
+        elif hasattr(solver, "_cycle"):
+            # PRODUCTION fused program (default monitor): per-op xplane
+            # attribution through the cycle's named scopes
+            # (monitor/opstats.measure_production; VERDICT r04 #4).
+            from ..monitor.csvout import (CsvIdentification,
+                                          write_costs_csv)
+            from ..monitor.opstats import measure_production
+            measured = measure_production(solver)
+            for (k, l), v in sorted(measured.items(),
+                                    key=lambda kv: (kv[0][1], kv[0][0])):
+                print(f"  measured {k} level {l}: "
+                      f"{v['time_us']:.1f} us device "
+                      f"({v['occurrences']} ops)")
+            ident = CsvIdentification.build(
+                cfg, mesh, num_partitions=cfg.num_partitions)
+            rows = [("XPROF_DEVICE_TIME_US",
+                     {kl: v["time_us"] for kl, v in measured.items()}),
+                    ("XPROF_OCCURRENCES",
+                     {kl: v["occurrences"]
+                      for kl, v in measured.items()})]
+            path = write_costs_csv(cfg.output_file_prefix, ident, rows,
+                                   mesh.num_levels)
+            print(f"Measured device time captured for {len(measured)} "
+                  f"kernels -> {path}")
         else:
-            print("WARNING: --measure-ops needs --monitor instrumented; "
-                  "skipping")
+            print("WARNING: --measure-ops is unavailable for this run "
+                  "mode; skipping")
 
     if args.dump_hlo and hasattr(solver, "dump_hlo"):
         paths = solver.dump_hlo(args.dump_hlo)

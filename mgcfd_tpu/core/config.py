@@ -88,6 +88,14 @@ class SolverConfig:
     # of one configuration skip the minutes-scale cold compile.
     check_invalid_every: int = 1      # host-side NaN-guard cadence (cycles)
     num_partitions: int = 1           # SPMD shards (parallel/)
+    partition_2d: str = ""            # 2-D tile decomposition of the
+    # sharded levels: "" = 1-D contiguous blocks (slabs), "auto" =
+    # near-square Px x Py tiling, "PXxPY" explicit. Realised as a node
+    # REORDERING before block partitioning (partition_order_2d), so the
+    # whole sharded machinery is decomposition-agnostic; external I/O
+    # (variables(), checkpoints, dumps) is translated back. Pays off
+    # where 1-D slab separators stop scaling (P >~ 16 at flagship size;
+    # SCALING.md P-sweep).
     shard_levels: int = 1             # MG levels sharded (0..S-1);
     # coarser levels replicate. 0 = AUTO: shard while a level still has
     # >= 4096 nodes per shard (the crossover rule, SCALING.md: shard a

@@ -164,6 +164,142 @@ def kernel_device_times(trace_dir: str) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Production (one-jit fused cycle) attribution — VERDICT r04 #4
+#
+# The production program is ONE jit per cycle (or per K-cycle scan), so
+# module names carry no kernel structure. Attribution instead rides the
+# named scopes the solver stamps into every op's HLO metadata
+# (solver._kscope -> op_name="jit(run)/.../k_<kernel>_l<level>/...");
+# the trace's per-op events are joined back through the compiled HLO
+# text. Works on both backends:
+#   - TPU: the device plane's "XLA Ops" line events are per-op
+#     executions named by the full HLO instruction text.
+#   - CPU (CI): per-op events named by the HLO instruction, with
+#     hlo_op/hlo_module stats; self-time by interval nesting.
+# ---------------------------------------------------------------------------
+
+_SCOPE_TAG_RE = re.compile(r"k_[A-Za-z0-9_]+_l\d+")
+
+
+def hlo_op_scopes(hlo_text: str) -> dict:
+    """{instruction_name: "k_<kernel>_l<level>"} from the optimized HLO's
+    op_name metadata (the deepest scope tag wins — scopes nest). Fusions
+    inherit the representative op's metadata, which XLA draws from the
+    fused computation; ops whose op_name carries no scope tag (MG-level
+    state plumbing, RMS, scan bookkeeping) stay unattributed."""
+    out = {}
+    for m in re.finditer(
+            r"%?([A-Za-z0-9_.\-]+) = [^\n]*?op_name=\"([^\"]*)\"",
+            hlo_text):
+        tags = _SCOPE_TAG_RE.findall(m.group(2))
+        if tags:
+            out[m.group(1)] = tags[-1]
+    return out
+
+
+def scoped_device_times(trace_dir: str, scope_map: dict) -> dict:
+    """{scope_tag: {"time_us", "occurrences"}} summing per-op device time
+    over every plane (see module comment for the per-backend event
+    sources). Only instructions present in `scope_map` contribute, which
+    also filters out other modules' ops."""
+    agg = defaultdict(lambda: {"time_us": 0.0, "occurrences": 0})
+    for plane in _iter_xplanes(trace_dir):
+        stat_names = {k: v.name for k, v in plane.stat_metadata.items()}
+        ev_meta = dict(plane.event_metadata.items())
+        if plane.name.startswith("/device:"):
+            for line in plane.lines:
+                # "XLA Ops" only: the Async line re-reports copy spans
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    name = ev_meta[ev.metadata_id].name \
+                        if ev.metadata_id in ev_meta else ""
+                    if name.startswith("%"):
+                        name = name[1:]
+                    instr = name.split(" ", 1)[0]
+                    scope = scope_map.get(instr)
+                    if scope is None:
+                        continue
+                    dur = ev.duration_ps
+                    if not dur:
+                        for st in ev.stats:
+                            if stat_names.get(st.metadata_id) == \
+                                    "device_duration_ps":
+                                dur = st.uint64_value or st.int64_value
+                                break
+                    agg[scope]["time_us"] += dur / 1e6
+                    agg[scope]["occurrences"] += 1
+        elif plane.name == "/host:CPU":
+            for line in plane.lines:
+                # self-time by nesting, attributed by instruction name
+                # (only execution events carry an hlo_op stat; wrapper
+                # thunk spans without one are skipped by the map lookup)
+                evs = []
+                for ev in line.events:
+                    nm = ev_meta[ev.metadata_id].name \
+                        if ev.metadata_id in ev_meta else ""
+                    evs.append((ev.offset_ps,
+                                ev.offset_ps + ev.duration_ps,
+                                scope_map.get(nm)))
+                evs.sort(key=lambda t: (t[0], -t[1]))
+                n = len(evs)
+                for i, (s, e, scope) in enumerate(evs):
+                    if scope is None or e <= s:
+                        continue
+                    child = 0
+                    j = i + 1
+                    while j < n and evs[j][0] < e:
+                        if evs[j][1] <= e:
+                            cs, ce, _ = evs[j]
+                            child += ce - cs
+                            k = j + 1
+                            while k < n and evs[k][0] < ce:
+                                k += 1
+                            j = k
+                            continue
+                        j += 1
+                    agg[scope]["time_us"] += max(0, (e - s) - child) / 1e6
+                    agg[scope]["occurrences"] += 1
+    return dict(agg)
+
+
+_TAG_RE = re.compile(r"^k_(?P<kernel>.+)_l(?P<level>\d+)$")
+
+
+def production_kernel_times(trace_dir: str, hlo_text: str) -> dict:
+    """{(kernel, level): {"time_us", "occurrences"}} for a production
+    (fused one-jit) program: join the trace's per-op device times with
+    the compiled HLO's named-scope metadata."""
+    scoped = scoped_device_times(trace_dir, hlo_op_scopes(hlo_text))
+    out = {}
+    for tag, rec in scoped.items():
+        m = _TAG_RE.match(tag)
+        if m:
+            out[(m.group("kernel"), int(m.group("level")))] = rec
+    return out
+
+
+def measure_production(solver, cycles: int = 1,
+                       trace_dir: str | None = None) -> dict:
+    """--measure-ops for the PRODUCTION solver (default fused monitor,
+    MGCFDSolver or ShardedSolver): capture `cycles` traced cycles and
+    attribute per-op device self-time to (kernel, level) through the
+    compiled cycle's named scopes. In fused-stage mode the whole RK
+    stage (flux + boundary/wall + time_step + invalid count — one
+    kernel launch) lands on the flux row. The solver must have run at
+    least one cycle already (compiles must not land inside the trace);
+    advances solver state."""
+    import jax
+
+    hlo_text = solver._cycle.lower(solver.state).compile().as_text()
+    d = trace_dir or tempfile.mkdtemp(prefix="mgcfd_opstats_")
+    with jax.profiler.trace(d):
+        solver.run(cycles)
+        jax.block_until_ready(jax.tree_util.tree_leaves(solver.state)[0])
+    return production_kernel_times(d, hlo_text)
+
+
 def measure_instrumented(solver, cycles: int = 1,
                          trace_dir: str | None = None) -> dict:
     """Run `cycles` extra instrumented cycles under jax.profiler.trace

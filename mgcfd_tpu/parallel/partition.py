@@ -148,6 +148,76 @@ class ShardedMeshData:
         return self.levels[0]
 
 
+def partition_order_2d(coords: np.ndarray, P: int,
+                       shape: tuple[int, int] | None = None) -> np.ndarray:
+    """Permutation (order[new_id] = old_id) that makes the contiguous
+    B-block decomposition a 2-D (Px x Py) TILE decomposition.
+
+    Partitioning here is "ordering + contiguous blocks" (node i belongs
+    to shard i // B), so a different decomposition is just a different
+    node order: chunk nodes into Px groups of Py*B by x-coordinate rank,
+    then into tiles of exactly B by y rank within each group — block b
+    is tile (b // Py, b % Py). Within each tile the ORIGINAL node order
+    is preserved (tiles are sorted runs of the input ids), so the
+    generator's banded walk / RCM locality that the window packer and
+    shift planner rely on survives intact inside every tile.
+
+    Motivation (SCALING.md round-4 P-sweep): 1-D slabs stop paying
+    around P~16 at flagship size — the separator is a full cross-section
+    plane per boundary, reaching 44-65% of nodes. A 2-D tiling's
+    separator scales with the tile perimeter instead.
+    """
+    n = coords.shape[0]
+    if shape is None:
+        px = int(np.sqrt(P))
+        while P % px:
+            px -= 1
+        shape = (P // px, px)
+    Px, Py = shape
+    if Px * Py != P:
+        raise ValueError(f"partition shape {shape} != {P} shards")
+    B = -(-n // P)
+    ox = np.argsort(coords[:, 0], kind="stable")
+    order = np.empty(n, np.int64)
+    pos = 0
+    for i in range(Px):
+        grp = ox[i * Py * B:min((i + 1) * Py * B, n)]
+        oy = grp[np.argsort(coords[grp, 1], kind="stable")]
+        for j in range(Py):
+            tile = oy[j * B:min((j + 1) * B, len(oy))]
+            tile = np.sort(tile)          # restore original order in-tile
+            order[pos:pos + len(tile)] = tile
+            pos += len(tile)
+    return order
+
+
+def partition2d_hierarchy(mesh, P: int,
+                          shape: tuple[int, int] | None = None):
+    """Reorder every level of a MultigridMesh so contiguous-block
+    partitioning at P shards realises the 2-D tiling (partition_order_2d
+    per level, inter-level mg_mapping fixed the same way
+    renumber_hierarchy does). Returns (new_mesh, orders) with
+    orders[l][new_id] = old_id for callers translating state back."""
+    from ..core.types import MultigridMesh
+    from ..prep.renumber import apply_node_order
+
+    new_levels = []
+    orders = []
+    for l, lvl in enumerate(mesh.levels):
+        if lvl.coords is None:
+            raise ValueError("2-D partitioning needs node coords")
+        order = partition_order_2d(lvl.coords, P, shape)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.shape[0])
+        new_levels.append(apply_node_order(lvl, order))
+        orders.append(order)
+        if l > 0 and new_levels[l - 1].mg_mapping is not None:
+            new_levels[l - 1].mg_mapping = inv[new_levels[l - 1].mg_mapping]
+    return (MultigridMesh(levels=new_levels, variant=mesh.variant,
+                          problem_size=mesh.problem_size, name=mesh.name),
+            orders)
+
+
 def partition_level(lvl: MeshLevel, P: int,
                     use_shift: bool = False,
                     shift_max_deltas: int = 8,

@@ -605,6 +605,23 @@ class ShardedSolver:
                                     problem_size=mgmesh.problem_size,
                                     name=mgmesh.name)
 
+        # optional 2-D tile decomposition, realised as a node reordering
+        # (partition = ordering + contiguous blocks); external node-major
+        # I/O is translated back through part_orders, so checkpoints stay
+        # portable across decompositions
+        self.part_orders = None       # order[new_id] = old_id, per level
+        self.part_invs = None
+        if config.partition_2d:
+            from .partition import partition2d_hierarchy
+            shape = None
+            if config.partition_2d != "auto":
+                px, py = (int(x) for x in
+                          config.partition_2d.lower().split("x"))
+                shape = (px, py)
+            conditioned, self.part_orders = partition2d_hierarchy(
+                conditioned, P_, shape)
+            self.part_invs = [np.argsort(o) for o in self.part_orders]
+
         self.smesh = partition_mesh(
             conditioned, P_, use_shift=config.accumulate == "shift",
             use_window=config.accumulate in ("window", "pallas"),
@@ -677,7 +694,10 @@ class ShardedSolver:
         v = np.asarray(arr).reshape(sd.P, sd.block, NVAR)
         parts = [v[p, :max(0, min((p + 1) * sd.part_width, sd.num_nodes)
                            - p * sd.part_width)] for p in range(sd.P)]
-        return np.concatenate(parts, axis=0)
+        out = np.concatenate(parts, axis=0)
+        if self.part_invs is not None:
+            out = out[self.part_invs[level]]
+        return out
 
     def _sharded_state(self, kind: str) -> list:
         head = [self.state[kind + "0"]]
@@ -686,13 +706,23 @@ class ShardedSolver:
     def _state_node_major(self) -> dict:
         """Checkpoint view: per-level node-major arrays, level 0 first
         (sharded levels reassembled, replicated levels as-is)."""
+        S = len(self.smesh.levels)
+
+        def coarse_ext(a, i):
+            v = np.asarray(a)
+            if self.part_invs is not None:
+                v = v[self.part_invs[S + i]]
+            return v
+
         return {
             "variables": [self._reassemble(a, i) for i, a in
                           enumerate(self._sharded_state("variables"))]
-            + [np.asarray(v) for v in self.state["variables_c"]],
+            + [coarse_ext(v, i)
+               for i, v in enumerate(self.state["variables_c"])],
             "residuals": [self._reassemble(a, i) for i, a in
                           enumerate(self._sharded_state("residuals"))]
-            + [np.asarray(r) for r in self.state["residuals_c"]],
+            + [coarse_ext(r, i)
+               for i, r in enumerate(self.state["residuals_c"])],
         }
 
     def _install_node_major(self, st: dict) -> None:
@@ -712,15 +742,22 @@ class ShardedSolver:
                 return jnp.asarray(full.reshape(sd.P * sd.block, NVAR),
                                    dtype)
 
+        def internal(a, level):
+            a = np.asarray(a)
+            if self.part_orders is not None:
+                a = a[self.part_orders[level]]
+            return a
+
         for key, target in (("variables", "variables"),
                             ("residuals", "residuals")):
             blocks = [split(self.smesh.levels[i],
                             self._sharded_state(target)[i],
-                            np.asarray(st[key][i])) for i in range(S)]
+                            internal(st[key][i], i)) for i in range(S)]
             self.state[target + "0"] = blocks[0]
             self.state[target + "_sx"] = blocks[1:]
             self.state[target + "_c"] = [
-                jnp.asarray(a, dtype) for a in st[key][S:]]
+                jnp.asarray(internal(a, S + i), dtype)
+                for i, a in enumerate(st[key][S:])]
 
     def run(self, cycles: int, verbose: bool = False):
         ck_every = self.config.checkpoint_every
@@ -810,7 +847,10 @@ class ShardedSolver:
             # at their tails: reassemble by partition width
             return self._reassemble(
                 self._sharded_state("variables")[level], level)
-        return np.asarray(self.state["variables_c"][level - S])
+        v = np.asarray(self.state["variables_c"][level - S])
+        if self.part_invs is not None:
+            v = v[self.part_invs[level]]
+        return v
 
 
 def dryrun(n_devices: int) -> None:

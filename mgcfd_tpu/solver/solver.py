@@ -531,8 +531,21 @@ def _indirect_rw_token(lvl: DeviceLevel, variables, config):
     return jnp.sum(acc)
 
 
+def _kscope(kernel: str, tag):
+    """Named scope `k_<kernel>_l<tag>` stamped into every op's HLO
+    metadata op_name — the hook `--measure-ops` uses to attribute
+    per-op device time inside the PRODUCTION one-jit cycle back to
+    (kernel, level) (monitor/opstats.production_kernel_times; the
+    reference wraps PAPI around the loops it actually runs,
+    papi_funcs.cpp:256-323). Zero runtime cost (trace-time only)."""
+    if tag is None:
+        import contextlib
+        return contextlib.nullcontext()
+    return jax.named_scope(f"k_{kernel}_l{tag}")
+
+
 def _visit(lvl: DeviceLevel, variables, ff_flux, config,
-           legacy_step: bool, io_transposed: bool = False):
+           legacy_step: bool, io_transposed: bool = False, tag=None):
     """One smoothing pass on one level: returns (variables, old, residuals,
     step_factors, invalid_count, rw_token). Reference inner loop:
     euler3d_cpu_double.cpp:383-512."""
@@ -540,13 +553,14 @@ def _visit(lvl: DeviceLevel, variables, ff_flux, config,
                                   or config.accumulate in ("pallas",
                                                            "window")):
         return _visit_transposed(lvl, variables, ff_flux, config,
-                                 legacy_step, io_transposed)
+                                 legacy_step, io_transposed, tag)
     assert not io_transposed
     old = variables
-    if legacy_step:
-        sf = compute_step_factor_legacy(variables, lvl.volumes)
-    else:
-        sf = compute_step_factor(variables, lvl.volumes)
+    with _kscope("compute_step", tag):
+        if legacy_step:
+            sf = compute_step_factor_legacy(variables, lvl.volumes)
+        else:
+            sf = compute_step_factor(variables, lvl.volumes)
 
     invalid = jnp.int32(0)
     rw_token = jnp.zeros((), variables.dtype)
@@ -559,11 +573,15 @@ def _visit(lvl: DeviceLevel, variables, ff_flux, config,
             crippled = internal_edge_flux_crippled(q_a, q_b, lvl.edge_w)
             rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
                 (), variables.dtype)
-        fluxes = _compute_fluxes(lvl, variables, ff_flux, config)
-        variables = time_step(j, sf, fluxes, old)
+        with _kscope("flux", tag):
+            fluxes = _compute_fluxes(lvl, variables, ff_flux, config)
+        with _kscope("time_step", tag):
+            variables = time_step(j, sf, fluxes, old)
         invalid = invalid + invalid_variables_count(variables)
         if config.include_indirect_rw:
-            rw_token = rw_token + _indirect_rw_token(lvl, variables, config)
+            with _kscope("indirect_rw", tag):
+                rw_token = rw_token + _indirect_rw_token(lvl, variables,
+                                                         config)
 
     res = residual(old, variables)
     return variables, old, res, sf, invalid, rw_token
@@ -657,7 +675,8 @@ def t_invalid_count(q):
 
 
 def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
-                      legacy_step: bool, io_transposed: bool = False):
+                      legacy_step: bool, io_transposed: bool = False,
+                      tag=None):
     """Variable-major RK inner loop (see ops/tops.py): the state lives as
     (NVAR, N) for the whole smoothing pass — full-lane layouts for the
     shift-decomposition flux. With io_transposed the caller already holds
@@ -665,7 +684,8 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
     at the visit boundary."""
     q = variables if io_transposed else variables.T
     old = q
-    sf = t_step_factor(lvl, q, legacy_step)
+    with _kscope("compute_step", tag):
+        sf = t_step_factor(lvl, q, legacy_step)
 
     invalid = jnp.int32(0)
     rw_token = jnp.zeros((), variables.dtype)
@@ -697,17 +717,25 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
                     v_nm[lvl.edge_a], v_nm[lvl.edge_b], lvl.edge_w)
                 rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
                     (), variables.dtype)
-            spill = None
-            if sa.shape[0]:
-                val = tops.t_internal_edge_flux(q[:, sa], q[:, sb], sw.T)
-                spill = tops.t_segment_accumulate(
-                    jnp.concatenate([val, -val], axis=1),
-                    jnp.concatenate([sa, sb]), q.shape[1])
-            fac = sf / float(RK + 1 - j)
-            q, inv = fused(q, old, fac, spill)
+            # measure-ops attribution: the fused launch is ONE kernel
+            # covering flux + dense boundary/wall + time_step + the
+            # invalid count — its whole device time lands on the flux
+            # row (the launch cannot be split; time_step rows stay 0
+            # in fused mode and the flux row is the RK-stage time)
+            with _kscope("flux", tag):
+                spill = None
+                if sa.shape[0]:
+                    val = tops.t_internal_edge_flux(q[:, sa], q[:, sb],
+                                                    sw.T)
+                    spill = tops.t_segment_accumulate(
+                        jnp.concatenate([val, -val], axis=1),
+                        jnp.concatenate([sa, sb]), q.shape[1])
+                fac = sf / float(RK + 1 - j)
+                q, inv = fused(q, old, fac, spill)
             invalid = invalid + inv
             if config.include_indirect_rw:
-                rw = t_indirect_rw(lvl, q, config)
+                with _kscope("indirect_rw", tag):
+                    rw = t_indirect_rw(lvl, q, config)
                 rw_token = rw_token + jnp.sum(rw) * jnp.zeros(
                     (), variables.dtype)
         if io_transposed:
@@ -724,15 +752,18 @@ def _visit_transposed(lvl: DeviceLevel, variables, ff_flux, config,
                 v_nm[lvl.edge_a], v_nm[lvl.edge_b], lvl.edge_w)
             rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
                 (), variables.dtype)
-        flux = t_compute_fluxes(lvl, q, ff_flux, config)
+        with _kscope("flux", tag):
+            flux = t_compute_fluxes(lvl, q, ff_flux, config)
         from ..ops import tops
-        q = tops.t_time_step(j, sf, flux, old)
+        with _kscope("time_step", tag):
+            q = tops.t_time_step(j, sf, flux, old)
         invalid = invalid + t_invalid_count(q)
         if config.include_indirect_rw:
             # twin runs inside the RK loop like the reference
             # (euler3d:491-505); token-consumed so XLA cannot dead-code
             # it (the reference discards the writes via zero_fluxes)
-            rw = t_indirect_rw(lvl, q, config)
+            with _kscope("indirect_rw", tag):
+                rw = t_indirect_rw(lvl, q, config)
             rw_token = rw_token + jnp.sum(rw) * jnp.zeros(
                 (), variables.dtype)
 
@@ -930,7 +961,7 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
             nonlocal invalid_total, rw_token
             v, old, res, sf, inv, tok = _visit(
                 dmesh.levels[l], variables[l], ff_flux, config, legacy,
-                io_transposed=tstate)
+                io_transposed=tstate, tag=l)
             variables[l] = v
             residuals[l] = res
             invalid_total = invalid_total + inv
@@ -945,10 +976,13 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
                 # layout-agnostic (sum of squares); explicit node count
                 # because the state may be lane-padded (tail res == 0)
                 rms = calc_rms(res, dmesh.levels[0].num_nodes)
-            # restrict variables l -> l+1 (euler3d:547-552)
-            variables[l + 1] = apply_restrict_padded(
-                dmesh.levels[l], dmesh.levels[l + 1], variables[l],
-                variables[l + 1], tstate)
+            # restrict variables l -> l+1 (euler3d:547-552); measure-ops
+            # attribution to the FINE level l, matching the instrumented
+            # solver's k_restrict_l<l> modules
+            with _kscope("restrict", l):
+                variables[l + 1] = apply_restrict_padded(
+                    dmesh.levels[l], dmesh.levels[l + 1], variables[l],
+                    variables[l + 1], tstate)
 
         # --- top level ---
         res = do_visit(L - 1)
@@ -959,9 +993,10 @@ def _raw_cycle_fn(dmesh: DeviceMesh, config: SolverConfig):
         for l in range(L - 2, -1, -1):
             fine = dmesh.levels[l]
             coarse = dmesh.levels[l + 1]
-            variables[l] = apply_prolong_padded(
-                fine, coarse, residuals[l + 1], residuals[l],
-                variables[l], tstate)
+            with _kscope("prolong", l):
+                variables[l] = apply_prolong_padded(
+                    fine, coarse, residuals[l + 1], residuals[l],
+                    variables[l], tstate)
             if l > 0:
                 do_visit(l)
 

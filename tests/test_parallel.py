@@ -412,3 +412,78 @@ def test_shard_levels_auto_rule():
     # shards past L-1
     sd2 = partition_mesh(mesh, 2, shard_levels=5)
     assert len(sd2.levels) == 2          # clamped to L-1
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+@pytest.mark.parametrize("acc", ["segment", "window"])
+def test_partition_2d_matches_single_chip(acc):
+    """2-D tile decomposition (partition_2d='2x2'): realised as a node
+    reordering before contiguous-block partitioning, so the whole
+    sharded machinery runs unchanged; external node-major I/O is
+    translated back through part_orders. Must match single-chip on
+    every level."""
+    mesh = generate_multigrid_box(12, 12, 10, 3, h=(0.1, 0.1, 0.1),
+                                  volume_jitter=0.2)
+    ref = MGCFDSolver(mesh, SolverConfig(dtype="float64"))
+    ref.run(cycles=3)
+    sh = ShardedSolver(mesh, SolverConfig(dtype="float64",
+                                          num_partitions=4,
+                                          accumulate=acc,
+                                          partition_2d="2x2"))
+    assert sh.part_orders is not None
+    sh.run(cycles=3)
+    for lvl in range(3):
+        np.testing.assert_allclose(sh.variables(lvl), ref.variables(lvl),
+                                   rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(sh.rms_history, ref.rms_history,
+                               rtol=1e-8)
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+def test_partition_2d_checkpoint_portable(tmp_path):
+    """A 2-D-decomposed run's checkpoints are node-major in the CALLER's
+    order: they resume a 1-D sharded run and a single-chip run to the
+    identical state."""
+    mesh = generate_multigrid_box(12, 10, 10, 3, h=(0.1, 0.1, 0.1))
+    base = dict(dtype="float64", num_partitions=4, accumulate="segment")
+    ck = str(tmp_path / "ck")
+    a = ShardedSolver(mesh, SolverConfig(**base, partition_2d="2x2",
+                                         checkpoint_dir=ck,
+                                         checkpoint_every=2))
+    a.run(cycles=4)
+
+    b = ShardedSolver(mesh, SolverConfig(**base, checkpoint_dir=ck,
+                                         resume=True))
+    assert b.completed_cycles == 4
+    c = ShardedSolver(mesh, SolverConfig(**base, partition_2d="2x2",
+                                         checkpoint_dir=ck, resume=True))
+    for lvl in range(3):
+        np.testing.assert_allclose(b.variables(lvl), a.variables(lvl),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(c.variables(lvl), a.variables(lvl),
+                                   rtol=0, atol=0)
+
+
+def test_partition_order_2d_properties():
+    """The 2-D order is a true permutation; blocks = tiles (each block's
+    nodes span one x-chunk x y-chunk rectangle); in-tile original order
+    is preserved (sorted runs)."""
+    from mgcfd_tpu.parallel.partition import partition_order_2d
+
+    rng = np.random.default_rng(3)
+    coords = rng.uniform(size=(1000, 3))
+    P = 8
+    order = partition_order_2d(coords, P, shape=(4, 2))
+    assert np.array_equal(np.sort(order), np.arange(1000))
+    B = -(-1000 // P)
+    for b in range(P):
+        tile = order[b * B:(b + 1) * B]
+        assert np.all(np.diff(tile) > 0)  # original order inside tile
+    # x-chunk ranks: block b // Py nodes have lower-or-equal x ranks
+    # than block (b+Py) // Py nodes (chunked by x rank)
+    xr = np.argsort(np.argsort(coords[:, 0], kind="stable"))
+    Py = 2
+    for i in range(3):
+        hi_of_chunk = xr[order[(i + 1) * Py * B - 1 - (0)]]
+        lo_next = min(xr[order[(i + 1) * Py * B:(i + 2) * Py * B]])
+        assert max(xr[order[i * Py * B:(i + 1) * Py * B]]) < lo_next
