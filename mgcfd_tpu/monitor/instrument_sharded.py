@@ -90,8 +90,8 @@ class InstrumentedShardedSolver:
 
         sd = self.smesh.level0
         cfg = self.config
-        cs, cr, wkernels = build_sharded_consts(sd, cfg, self.dtype,
-                                                self.jmesh)
+        cs, cr, wkernels, pkernel = build_sharded_consts(
+            sd, cfg, self.dtype, self.jmesh)
         self._consts = (cs, cr)
         mesh = self.jmesh
         ff_flux = self.ff_flux
@@ -156,7 +156,8 @@ class InstrumentedShardedSolver:
                 (P(AXIS), P()), P())
             self.k[("prolong", 0)] = shmap(
                 lambda csh, crep, rc, rf, vf: _sharded_prolong(
-                    sd, const_of(csh, crep), rc, rf, vf),
+                    sd, const_of(csh, crep), rc, rf, vf,
+                    pkernel=pkernel),
                 (P(), P(AXIS), P(AXIS)), P(AXIS))
 
         # ---- replicated coarse levels (level 1..L-1), unsharded: the

@@ -115,6 +115,22 @@ class ShardedLevelData:
     # into the SPMD program, per-shard depth-sorted window orders as data
     win_wmap: np.ndarray | None = None     # (P, n_win) i32 sorted order
     win_buckets: list | None = None        # [(start, count, l_max_b)]
+    # composed windowed prolongation, per shard (the sharded twin of
+    # prep/window.build_prolong_window's cplan): dest = local fine
+    # block, sources = the RAW coarse residual space (replicated or
+    # gathered); destination-grouped, so the windowed sharded prolong
+    # needs NO collective at all. Without it the sharded prolong's
+    # indexed stream (two E-row coarse gathers + segment-sums) measured
+    # ~85 ms/cycle on-chip at flagship P=1 vs the single-chip composed
+    # kernel's 0.45 ms (round-5 sp1_diag).
+    pwin_template: object | None = None
+    pwin_arrays: dict | None = None
+    pwin_spill_dest: np.ndarray | None = None  # (P, Hs) i32 local fine
+    pwin_spill_src: np.ndarray | None = None   # (P, Hs) i32 raw coarse
+    pwin_spill_w: np.ndarray | None = None     # (P, Hs)
+    pwin_wmap: np.ndarray | None = None
+    pwin_buckets: list | None = None
+    pwin_ncp: int = 0                          # padded coarse width
     # when the NEXT level is ALSO sharded (shard_levels > current+1):
     # restriction targets the coarse level's PADDED block space and
     # lands on each shard via one psum_scatter; prolongation all_gathers
@@ -523,6 +539,101 @@ def _attach_window_plans(sl: ShardedLevelData, lvl: MeshLevel, P: int,
         for p, pl in enumerate(plans)]
 
 
+def _attach_prolong_window(sl: ShardedLevelData, lvl: MeshLevel,
+                           coarse: MeshLevel, P: int,
+                           plan_cache_dir: str = "",
+                           l_cap: int = 64) -> None:
+    """Per-shard composed prolongation plans (see the pwin_* field
+    comment): split the global composed half list by fine-destination
+    shard, pack each shard's halves into the cross-space wsum layer
+    structure against the raw coarse space, share one kw and one bucket
+    structure across shards (one SPMD program; per-shard depth order as
+    data, exactly like the flux plans)."""
+    from ..prep.window import (WIN, build_halfedge_plan, cached_plan,
+                               composed_prolong_halves, needed_kw)
+    from ..pallas.flux_window import shared_depth_buckets
+
+    Bs = sl.block
+    B = sl.part_width
+    n_win = Bs // WIN
+    ncp = -(-coarse.num_nodes // WIN) * WIN
+    n_win_src = ncp // WIN
+    owner_c, nbr_c, w_c = composed_prolong_halves(lvl, coarse, ncp)
+    p_of = np.minimum(owner_c // B, P - 1)
+
+    halves = []
+    anchors = []
+    kw = 2
+    for p in range(P):
+        sel = p_of == p
+        o = (owner_c[sel] - p * B).astype(np.int64)
+        nb = nbr_c[sel]
+        w = w_c[sel]
+        ow = o // WIN
+        gw = nb // WIN
+        sums = np.zeros(n_win)
+        cnts = np.zeros(n_win)
+        np.add.at(sums, ow, gw)
+        np.add.at(cnts, ow, 1)
+        guess = np.arange(n_win) * (n_win_src / max(1, n_win))
+        anchor = np.where(cnts > 0, sums / np.maximum(cnts, 1),
+                          guess).round().astype(np.int64)
+        halves.append((o, nb, w))
+        anchors.append(anchor)
+        kw = max(kw, needed_kw(o, nb, anchor, n_win_src))
+
+    plans = []
+    for p, (o, nb, w) in enumerate(halves):
+        def build(o=o, nb=nb, w=w, anchor=anchors[p]):
+            plan, ok = build_halfedge_plan(
+                Bs, o, nb, w[:, None], kw=kw, l_cap=l_cap,
+                num_nbr_nodes=ncp, anchor=anchor)
+            plan.spill_a = o[~ok].astype(np.int32)
+            plan.spill_b = nb[~ok].astype(np.int32)
+            plan.spill_w = w[~ok]
+            plan.num_spilled_edges = int((~ok).sum())
+            return plan
+
+        plans.append(cached_plan(
+            plan_cache_dir, f"shardpro-p{p}of{P}",
+            (o, nb, w, anchors[p], np.asarray([Bs, ncp, kw, l_cap])),
+            build))
+
+    l_max = max(pl.l_max for pl in plans)
+    hs = max(1, max(pl.spill_a.shape[0] for pl in plans))
+
+    def padl(a, target_l):
+        padw = [(0, 0)] * a.ndim
+        padw[1] = (0, target_l - a.shape[1])
+        return np.pad(a, padw)
+
+    sl.pwin_arrays = {
+        "base": np.stack([pl.base_win for pl in plans]),
+        "nl": np.stack([pl.layer_count for pl in plans]),
+        "own": np.stack([pl.own_local for pl in plans]),
+        "lwins": np.stack([padl(pl.layer_wins, l_max) for pl in plans]),
+        "wsel": np.stack([padl(pl.wsel, l_max) for pl in plans]),
+        "ci": np.stack([padl(pl.col_idx, l_max) for pl in plans]),
+        "rs": np.stack([padl(pl.row_sel, l_max) for pl in plans]),
+        "w4": np.stack([padl(pl.w4, l_max) for pl in plans]),
+    }
+    sl.pwin_spill_dest = np.stack(
+        [_pad_to(pl.spill_a, hs, 0) for pl in plans])
+    sl.pwin_spill_src = np.stack(
+        [_pad_to(pl.spill_b, hs, 0) for pl in plans])
+    sl.pwin_spill_w = np.stack(
+        [_pad_to(pl.spill_w.reshape(-1), hs, 0.0) for pl in plans])
+    sl.pwin_wmap, sl.pwin_buckets = shared_depth_buckets(
+        sl.pwin_arrays["nl"])
+    sl.pwin_ncp = ncp
+    import dataclasses as _dc
+    sl.pwin_template = _dc.replace(
+        plans[0], l_max=l_max,
+        layer_wins=sl.pwin_arrays["lwins"][0],
+        wsel=sl.pwin_arrays["wsel"][0], col_idx=sl.pwin_arrays["ci"][0],
+        row_sel=sl.pwin_arrays["rs"][0], w4=sl.pwin_arrays["w4"][0])
+
+
 def _attach_mg(sl: ShardedLevelData, lvl: MeshLevel, coarse: MeshLevel,
                P: int) -> None:
     """MG bookkeeping from sharded `lvl` to raw-indexed `coarse` (used
@@ -612,6 +723,11 @@ def partition_mesh(mesh, P: int, use_shift: bool = False,
     for i, sl in enumerate(slevels):
         if i + 1 < L:
             _attach_mg(sl, mesh.levels[i], mesh.levels[i + 1], P)
+            if use_window and mesh.levels[i].coords is not None \
+                    and mesh.levels[i + 1].coords is not None:
+                _attach_prolong_window(sl, mesh.levels[i],
+                                       mesh.levels[i + 1], P,
+                                       plan_cache_dir=plan_cache_dir)
         if i + 1 < S:
             _attach_mg_padded(sl, slevels[i + 1], mesh.levels[i], P)
     return ShardedMeshData(levels=slevels, coarse_levels=mesh.levels[S:],

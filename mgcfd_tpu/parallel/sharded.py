@@ -270,10 +270,33 @@ def _sharded_restrict(sd, const, variables_block, coarse_vars):
     return jnp.where(mapped[:, None], sums / safe[:, None], coarse_vars)
 
 
-def _sharded_prolong(sd, const, res_coarse, res_fine, vars_fine):
-    """Coarse (replicated) residuals -> sharded fine correction, using the
-    static per-edge geometry; foreign-endpoint contributions ride the same
-    psum_scatter path as the flux scatter."""
+def _sharded_prolong(sd, const, res_coarse, res_fine, vars_fine,
+                     pkernel=None):
+    """Coarse (replicated/gathered-raw) residuals -> sharded fine
+    correction. Production path (pkernel, accumulate=window/pallas):
+    the per-shard COMPOSED windowed wsum kernel computes wavg for the
+    local block directly from the raw coarse residuals — destination-
+    grouped, so there is NO collective on this path (the coarse side is
+    already shard-local). Fallback (segment/shift modes): the static
+    per-edge geometry streams with the psum_scatter return leg."""
+    if pkernel is not None and "pwin_base" in const:
+        from ..ops import tops
+
+        rc_t = res_coarse.T                        # (5, Nc)
+        pad = pkernel.padded_in - rc_t.shape[1]
+        if pad:
+            rc_t = jnp.concatenate(
+                [rc_t, jnp.zeros((NVAR, pad), rc_t.dtype)], axis=1)
+        warrs = {k: const["pwin_" + k] for k in
+                 ("base", "nl", "own", "lwins", "wsel", "ci", "rs",
+                  "w4", "wmap")}
+        wavg_t = pkernel(rc_t, arrays=warrs)       # (5, Bs)
+        # spill halves (cross out-of-kw): tiny indexed stream
+        vals = const["pwsp_w"][None] * rc_t[:, const["pwsp_src"]]
+        wavg_t = wavg_t + tops.t_segment_accumulate(
+            vals, const["pwsp_dest"], wavg_t.shape[1])
+        return vars_fine + (res_fine - wavg_t.T) \
+            * const["node_mask"][:, None]
     B = vars_fine.shape[0]
     pool_sz = sd.P * sd.smax
     r_a1 = res_coarse[const["pro_a1"]]
@@ -431,6 +454,35 @@ def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
             "mgc_counts": to_dev(sd.mgc_counts),
             "mgc_mapped": jnp.asarray(sd.mgc_mapped),
         })
+    pkernel = None
+    if (config.accumulate in ("window", "pallas")
+            and sd.pwin_arrays is not None):
+        # composed windowed prolongation, per shard: ONE cross-space
+        # wsum kernel computes wavg for the local fine block directly
+        # from the raw coarse residuals (no collective; see
+        # partition._attach_prolong_window). Shared bucket structure;
+        # per-shard depth order travels as data (pwin_wmap).
+        from ..pallas.flux_window import PallasWindowFlux
+        interp = mesh.devices.flat[0].platform == "cpu"
+        pkernel = PallasWindowFlux(sd.pwin_template, sd.block,
+                                   dtype=dtype, interpret=interp,
+                                   arrays={}, mode="wsum",
+                                   buckets=sd.pwin_buckets)
+        pa = sd.pwin_arrays
+        sharded_const.update({
+            "pwin_base": to_dev(pa["base"], jnp.int32),
+            "pwin_nl": to_dev(pa["nl"], jnp.int32),
+            "pwin_own": to_dev(pa["own"], jnp.int32),
+            "pwin_lwins": to_dev(pa["lwins"], jnp.int32),
+            "pwin_wsel": to_dev(pa["wsel"], jnp.int32),
+            "pwin_ci": to_dev(pa["ci"], jnp.int32),
+            "pwin_rs": to_dev(pa["rs"], jnp.int32),
+            "pwin_w4": to_dev(pa["w4"]),
+            "pwin_wmap": to_dev(sd.pwin_wmap, jnp.int32),
+            "pwsp_dest": to_dev(sd.pwin_spill_dest, jnp.int32),
+            "pwsp_src": to_dev(sd.pwin_spill_src, jnp.int32),
+            "pwsp_w": to_dev(sd.pwin_spill_w),
+        })
     # ... and replicated constants
     replicated_const = {}
     if sd.mg_counts is not None:
@@ -438,7 +490,7 @@ def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
         replicated_const["mg_mapped"] = jnp.asarray(sd.mg_mapped)
     if sd.c_raw2pad is not None:
         replicated_const["c_raw2pad"] = to_dev(sd.c_raw2pad, jnp.int32)
-    return sharded_const, replicated_const, wkernels
+    return sharded_const, replicated_const, wkernels, pkernel
 
 
 def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
@@ -455,11 +507,13 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
     S = len(smesh.levels)
     sh_all, rep_all = {}, {}
     wk_list = []
+    pk_list = []
     for i, sdl in enumerate(smesh.levels):
-        cs, cr, wk = build_sharded_consts(sdl, config, dtype, mesh)
+        cs, cr, wk, pk = build_sharded_consts(sdl, config, dtype, mesh)
         sh_all.update({f"L{i}_{k}": v for k, v in cs.items()})
         rep_all.update({f"L{i}_{k}": v for k, v in cr.items()})
         wk_list.append(wk)
+        pk_list.append(pk)
 
     L = S + len(dmesh_coarse)
 
@@ -546,7 +600,7 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
                     res_above = res_c[0]
                 vars_s[i] = _sharded_prolong(
                     smesh.levels[i], const_l[i], res_above, res_s[i],
-                    vars_s[i])
+                    vars_s[i], pkernel=pk_list[i])
                 if i > 0:
                     vars_s[i], res_s[i] = visit_sharded(i, vars_s[i])
 

@@ -446,6 +446,71 @@ def reconstruct_half_edges(plan: WindowPlan):
     return outs
 
 
+def _composed_prolong_collapse(n, a2, b1, mapping, coincident,
+                               dense_local, wsum, B1, num_coarse_pad):
+    """The composed operator's half list: wavg directly from rc in ONE
+    cross-space plan (build_prolong_window docstring); inv_wsum and the
+    coincident select are folded into the half-edge weights."""
+    inv = 1.0 / np.where(wsum > 0, wsum, 1.0)
+    dense_w = np.where(coincident, 1.0, dense_local * inv)
+    live_nb = B1 != 0.0          # B1 == 0 where coincident[a2]
+    owner_c = np.concatenate([np.arange(n, dtype=np.int64),
+                              a2[live_nb]])
+    nbr_c = np.concatenate([mapping.astype(np.int64), b1[live_nb]])
+    w_c = np.concatenate([dense_w, B1[live_nb] * inv[a2[live_nb]]])
+    # COLLAPSE duplicate (fine, parent) pairs (round 4): under 8:1
+    # coarsening many of a fine node's neighbors share a parent, so
+    # the raw half list repeats pairs — each repeat costs a packed
+    # slot, and prolong slots are the expensive kind (destination-
+    # pinned packing: depth = max PAIR count per node). Summing the
+    # weights at build time (fp64, exact) shrinks the half list and
+    # the depth tail before packing ever sees them.
+    key = owner_c * np.int64(num_coarse_pad) + nbr_c
+    uniq, idx = np.unique(key, return_inverse=True)
+    w_c = np.bincount(idx, weights=w_c)
+    owner_c = (uniq // num_coarse_pad).astype(np.int64)
+    nbr_c = (uniq % num_coarse_pad).astype(np.int64)
+    return owner_c, nbr_c, w_c
+
+
+def composed_prolong_halves(fine: MeshLevel, coarse: MeshLevel,
+                            num_coarse_pad: int):
+    """(owner_fine, nbr_coarse, weight) for the COMPOSED prolongation
+    (wavg[i] = sum_j w_ij * rc[j]) in GLOBAL fine/raw-coarse node ids —
+    the decomposition-agnostic form the sharded per-shard prolong plans
+    pack (parallel/partition._attach_prolong_window). Same math as
+    build_prolong_window's cplan branch (duplicate pairs collapsed)."""
+    n = fine.num_nodes
+    mapping = fine.mg_mapping
+    assert mapping is not None and mapping.shape[0] == n
+    coincident = np.all(fine.coords == coarse.coords[mapping], axis=1)
+    a2 = fine.edge_a.astype(np.int64)
+    b2 = fine.edge_b.astype(np.int64)
+    a1 = mapping[a2]
+    b1 = mapping[b2]
+
+    def idist(p, q):
+        d = p - q
+        with np.errstate(divide="ignore"):
+            out = 1.0 / np.sqrt((d * d).sum(axis=1))
+        return np.nan_to_num(out, posinf=0.0, neginf=0.0)
+
+    la = (~coincident[a2]).astype(np.float64)
+    lb = (~coincident[b2]).astype(np.float64)
+    A1 = la * idist(fine.coords[a2], coarse.coords[a1])
+    B1 = la * idist(coarse.coords[b1], fine.coords[a2])
+    BS = lb * (idist(fine.coords[b2], coarse.coords[b1])
+               + idist(coarse.coords[a1], fine.coords[b2]))
+    dense_local = np.zeros(n)
+    np.add.at(dense_local, a2, A1)
+    np.add.at(dense_local, b2, BS)
+    wsum = dense_local.copy()
+    np.add.at(wsum, a2, B1)
+    return _composed_prolong_collapse(n, a2, b1, mapping, coincident,
+                                      dense_local, wsum, B1,
+                                      num_coarse_pad)
+
+
 def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
                          l_cap: int = 64,
                          num_fine_pad: int | None = None,
@@ -512,28 +577,9 @@ def build_prolong_window(fine: MeshLevel, coarse: MeshLevel,
     np.add.at(wsum, a2, B1)
 
     if num_coarse_pad is not None:
-        # composed operator: wavg directly from rc in ONE cross-space
-        # plan (see docstring); inv_wsum and the coincident select are
-        # folded into the half-edge weights
-        inv = 1.0 / np.where(wsum > 0, wsum, 1.0)
-        dense_w = np.where(coincident, 1.0, dense_local * inv)
-        live_nb = B1 != 0.0          # B1 == 0 where coincident[a2]
-        owner_c = np.concatenate([np.arange(n, dtype=np.int64),
-                                  a2[live_nb]])
-        nbr_c = np.concatenate([mapping.astype(np.int64), b1[live_nb]])
-        w_c = np.concatenate([dense_w, B1[live_nb] * inv[a2[live_nb]]])
-        # COLLAPSE duplicate (fine, parent) pairs (round 4): under 8:1
-        # coarsening many of a fine node's neighbors share a parent, so
-        # the raw half list repeats pairs — each repeat costs a packed
-        # slot, and prolong slots are the expensive kind (destination-
-        # pinned packing: depth = max PAIR count per node). Summing the
-        # weights at build time (fp64, exact) shrinks the half list and
-        # the depth tail before packing ever sees them.
-        key = owner_c * np.int64(num_coarse_pad) + nbr_c
-        uniq, idx = np.unique(key, return_inverse=True)
-        w_c = np.bincount(idx, weights=w_c)
-        owner_c = (uniq // num_coarse_pad).astype(np.int64)
-        nbr_c = (uniq % num_coarse_pad).astype(np.int64)
+        owner_c, nbr_c, w_c = _composed_prolong_collapse(
+            n, a2, b1, mapping, coincident, dense_local, wsum, B1,
+            num_coarse_pad)
         cplan, cok = build_halfedge_plan(
             num_fine_pad or n, owner_c, nbr_c, w_c[:, None], l_cap=l_cap,
             num_nbr_nodes=num_coarse_pad, node_map=node_map)

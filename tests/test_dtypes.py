@@ -23,7 +23,10 @@ def test_fp32_tracks_fp64(mesh):
                                rtol=2e-5, atol=1e-7)
 
 
-@pytest.mark.parametrize("mode", ["segment", "shift"])
+@pytest.mark.parametrize("mode", [
+    "segment",
+    pytest.param("shift", marks=pytest.mark.slow),
+])
 def test_bfloat16_runs_and_stays_finite(mesh, mode):
     s = MGCFDSolver(mesh, SolverConfig(dtype="bfloat16", accumulate=mode))
     s.run(cycles=2)

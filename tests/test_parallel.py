@@ -65,6 +65,7 @@ def test_sharded_multigrid_matches_single_chip():
 
 
 @pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_sharded_shift_mode_matches():
     """Sharded shift decomposition (dense diagonals on shard-local edges,
     spill via the indexed stream) must match the plain sharded path."""
@@ -95,12 +96,14 @@ def test_partition_covers_all_edges():
     assert total == lvl.num_internal_edges
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoint():
     from mgcfd_tpu.parallel import dryrun
     dryrun(min(8, NDEV))
 
 
 @pytest.mark.skipif(NDEV < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_run_batched_matches_run():
     """lax.scan multi-cycle dispatch == cycle-at-a-time, bitwise."""
     mesh = generate_multigrid_box(8, 8, 8, 2, h=(0.1, 0.1, 0.1))
@@ -203,6 +206,7 @@ def test_sharded_window_unstructured_tet():
 
 
 @pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_sharded_checkpoint_resume_bitwise(tmp_path):
     """Sharded checkpoint/resume (VERDICT r02 #4): interrupt at cycle 2,
     resume from disk, and land bitwise on the uninterrupted run."""
@@ -224,6 +228,7 @@ def test_sharded_checkpoint_resume_bitwise(tmp_path):
 
 
 @pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_checkpoint_portable_single_chip_to_sharded(tmp_path):
     """Checkpoints are node-major real-width — the same file resumes a
     run under a DIFFERENT partitioning (here: single chip -> 4 shards,
@@ -248,6 +253,7 @@ def test_checkpoint_portable_single_chip_to_sharded(tmp_path):
 
 
 @pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_instrumented_sharded_matches(tmp_path):
     """Per-kernel instrumented sharded solver: production dispatch per
     kernel, solution parity, and the three reference-schema CSVs."""
@@ -278,6 +284,7 @@ def test_instrumented_sharded_matches(tmp_path):
 
 
 @pytest.mark.skipif(NDEV < 2, reason="needs 2 virtual devices")
+@pytest.mark.slow
 def test_sharded_window_flux_cripple_runs():
     """FLUX_CRIPPLE under the sharded windowed visit: the crippled twin
     runs first with discarded writes and must not disturb the solution."""
@@ -294,6 +301,7 @@ def test_sharded_window_flux_cripple_runs():
 
 
 @pytest.mark.skipif(NDEV < 2, reason="needs 2 virtual devices")
+@pytest.mark.slow
 def test_sharded_window_shared_depth_buckets(monkeypatch):
     """Shared cross-shard depth-bucketed dispatch (VERDICT r03 #4): the
     bucket STRUCTURE is baked once from the cross-shard max depth
@@ -344,7 +352,11 @@ def test_shared_depth_buckets_properties():
 
 
 @pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
-@pytest.mark.parametrize("acc", ["segment", "shift", "window"])
+@pytest.mark.parametrize("acc", [
+    "segment",
+    pytest.param("shift", marks=pytest.mark.slow),
+    pytest.param("window", marks=pytest.mark.slow),
+])
 def test_sharded_two_level_matches_single_chip(acc):
     """shard_levels=2 (SCALING.md crossover: level 1 carries ~20% of
     the tet cycle — replicating it Amdahl-caps the speedup): level 1
@@ -372,6 +384,7 @@ def test_sharded_two_level_matches_single_chip(acc):
 
 
 @pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_sharded_two_level_checkpoint_portable(tmp_path):
     """Checkpoints stay node-major and portable: write from a
     shard_levels=2 run, resume single-chip, and land on the
@@ -415,7 +428,10 @@ def test_shard_levels_auto_rule():
 
 
 @pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
-@pytest.mark.parametrize("acc", ["segment", "window"])
+@pytest.mark.parametrize("acc", [
+    "segment",
+    pytest.param("window", marks=pytest.mark.slow),
+])
 def test_partition_2d_matches_single_chip(acc):
     """2-D tile decomposition (partition_2d='2x2'): realised as a node
     reordering before contiguous-block partitioning, so the whole

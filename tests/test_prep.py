@@ -1,5 +1,6 @@
 """prep/: incidence tables and renumbering."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import oracle
@@ -74,6 +75,7 @@ def test_rcm_improves_locality():
     assert after < before / 3
 
 
+@pytest.mark.slow
 def test_renumber_hierarchy_preserves_solution():
     """Scramble every level of a multigrid mesh, RCM the hierarchy back,
     and check the multigrid solve matches the original node-for-node."""

@@ -116,6 +116,7 @@ def test_precompute_edge_weights_matches():
                                rtol=1e-12, atol=1e-16)
 
 
+@pytest.mark.slow
 def test_flux_cripple_transposed_side_effect_free():
     """--flux-cripple under the transposed/window layouts runs the
     crippled twin (token-consumed) without changing the solution —

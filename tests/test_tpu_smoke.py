@@ -100,3 +100,23 @@ np.testing.assert_allclose(s3.variables(0), r.variables(0),
                            rtol=5e-5, atol=1e-7)
 print("window fused+bucketed smoke ok, buckets:", wf3.buckets)
 """)
+
+
+def test_mosaic_sharded_window_p1():
+    """The SHARDED windowed production program Mosaic-compiles and runs
+    on the real chip at P=1 — the only multi-chip configuration this
+    hardware allows (VERDICT r04 #1). Covers the sharded kernel
+    template: pool-concatenated _window_exchange operand, wmap-as-data
+    shared depth buckets, and the shard_map'd cycle. Must agree with
+    the single-chip segment oracle."""
+    _run(_COMMON + """
+from mgcfd_tpu.parallel import ShardedSolver
+sh = ShardedSolver(mesh, SolverConfig(dtype="float32",
+                                      accumulate="window",
+                                      num_partitions=1))
+assert sh.wkernels is not None and not sh.wkernels[0].interpret
+sh.run(cycles=2)
+np.testing.assert_allclose(sh.variables(0), r.variables(0),
+                           rtol=5e-5, atol=1e-7)
+print("sharded window P=1 smoke ok")
+""")

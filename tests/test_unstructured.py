@@ -69,6 +69,7 @@ def test_renumbering_is_solution_permutation(tet_mesh):
                                rtol=1e-12, atol=1e-15)
 
 
+@pytest.mark.slow
 def test_accumulate_modes_agree_on_tet(tet_mesh):
     """The general-mesh accumulate strategies must agree on a spill-heavy
     unstructured mesh (shift plans here cover only a fraction of edges).

@@ -396,6 +396,7 @@ def test_tile_order_equivalence():
                                rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_tile_order_checkpoint_roundtrip(tmp_path):
     """Checkpoints stay external-order: save from a tile-interleaved
     solver, resume into a caller-order solver, identical trajectories."""
