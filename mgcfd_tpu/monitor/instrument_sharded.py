@@ -90,7 +90,7 @@ class InstrumentedShardedSolver:
 
         sd = self.smesh.level0
         cfg = self.config
-        cs, cr, wkernels, pkernel = build_sharded_consts(
+        cs, cr, wkernels, pkernel, rkernel = build_sharded_consts(
             sd, cfg, self.dtype, self.jmesh)
         self._consts = (cs, cr)
         mesh = self.jmesh
@@ -152,7 +152,7 @@ class InstrumentedShardedSolver:
         if self.dmesh_coarse:
             self.k[("restrict", 0)] = shmap(
                 lambda csh, crep, vf, vc: _sharded_restrict(
-                    sd, const_of(csh, crep), vf, vc),
+                    sd, const_of(csh, crep), vf, vc, rkernel=rkernel),
                 (P(AXIS), P()), P())
             self.k[("prolong", 0)] = shmap(
                 lambda csh, crep, rc, rf, vf: _sharded_prolong(
@@ -190,15 +190,18 @@ class InstrumentedShardedSolver:
                 lambda v, lv=lvl: jnp.sum(t_indirect_rw(
                     lv, v.T, coarse_cfg)), lvl)
             if i + 1 < len(self.dmesh_coarse):
+                # the same precomputed-table transfer dispatch the fused
+                # sharded cycle runs (solver.apply_*_padded; the raw ops
+                # recompute prolong geometry per call)
+                from ..solver.solver import (apply_prolong_padded,
+                                             apply_restrict_padded)
                 nxt = self.dmesh_coarse[i + 1]
                 self.k[("restrict", l)] = bindc(
-                    lambda vf, vc, lv=lvl, nx=nxt: mg_restrict(
-                        vf, vc, lv.mg_mapping, nx.num_nodes), lvl)
+                    lambda vf, vc, lv=lvl, nx=nxt: apply_restrict_padded(
+                        lv, nx, vf, vc, False), lvl)
                 self.k[("prolong", l)] = bindc(
                     lambda rc, rf, vf, lv=lvl, nx=nxt:
-                    prolong_residuals_interpolate(
-                        rc, rf, vf, lv.mg_mapping, nx.coords, lv.coords,
-                        lv.edge_a, lv.edge_b), lvl)
+                    apply_prolong_padded(lv, nx, rc, rf, vf, False), lvl)
 
     # --- timed invocation ----------------------------------------------
     _recording = True

@@ -131,6 +131,20 @@ class ShardedLevelData:
     pwin_wmap: np.ndarray | None = None
     pwin_buckets: list | None = None
     pwin_ncp: int = 0                          # padded coarse width
+    # windowed restriction, per shard (cross-space: coarse owners gather
+    # their LOCAL fine children at 1/count_global; partial sums are
+    # psum'd / psum_scatter'd exactly like the stream form). Dest space:
+    # raw coarse (replicated-coarse case) or the coarse level's padded
+    # block space P*Bc (sharded-coarse case). Replaces the segment-sum
+    # scatter that measured ~4.5 ms/cycle on-chip at flagship P=1.
+    rwin_template: object | None = None
+    rwin_arrays: dict | None = None
+    rwin_spill_dest: np.ndarray | None = None  # (P, Hs) i32 coarse dest
+    rwin_spill_src: np.ndarray | None = None   # (P, Hs) i32 local fine
+    rwin_spill_w: np.ndarray | None = None     # (P, Hs)
+    rwin_wmap: np.ndarray | None = None
+    rwin_buckets: list | None = None
+    rwin_dest: int = 0                         # dest-space width (padded)
     # when the NEXT level is ALSO sharded (shard_levels > current+1):
     # restriction targets the coarse level's PADDED block space and
     # lands on each shard via one psum_scatter; prolongation all_gathers
@@ -634,6 +648,103 @@ def _attach_prolong_window(sl: ShardedLevelData, lvl: MeshLevel,
         row_sel=sl.pwin_arrays["rs"][0], w4=sl.pwin_arrays["w4"][0])
 
 
+def _attach_restrict_window(sl: ShardedLevelData, lvl: MeshLevel,
+                            P: int, dest_of_fine: np.ndarray,
+                            dest_width: int,
+                            plan_cache_dir: str = "",
+                            l_cap: int = 64) -> None:
+    """Per-shard windowed restriction plans: owner = destination coarse
+    id (`dest_of_fine[global fine id]` — raw coarse or padded-global,
+    both window-aligned), nbr = LOCAL fine id, weight = 1/count_global
+    (folded so the psum of partials is the segment mean directly).
+    Shares one kw/bucket structure across shards like the other plans."""
+    from ..prep.window import (WIN, build_halfedge_plan, cached_plan,
+                               needed_kw)
+    from ..pallas.flux_window import shared_depth_buckets
+
+    B, Bs = sl.part_width, sl.block
+    n = sl.num_nodes
+    ncp = -(-dest_width // WIN) * WIN
+    n_win = ncp // WIN
+    n_win_src = Bs // WIN
+    counts = np.bincount(dest_of_fine, minlength=dest_width).astype(
+        np.float64)
+    w_all = (1.0 / np.maximum(counts, 1.0))[dest_of_fine]
+
+    halves = []
+    anchors = []
+    kw = 2
+    for p in range(P):
+        lo, hi = p * B, min((p + 1) * B, n)
+        g = np.arange(lo, hi, dtype=np.int64)
+        o = dest_of_fine[g].astype(np.int64)
+        nb = g - lo
+        w = w_all[g]
+        ow = o // WIN
+        gw = nb // WIN
+        sums = np.zeros(n_win)
+        cnts = np.zeros(n_win)
+        np.add.at(sums, ow, gw)
+        np.add.at(cnts, ow, 1)
+        guess = np.arange(n_win) * (n_win_src / max(1, n_win))
+        anchor = np.where(cnts > 0, sums / np.maximum(cnts, 1),
+                          guess).round().astype(np.int64)
+        halves.append((o, nb, w))
+        anchors.append(anchor)
+        kw = max(kw, needed_kw(o, nb, anchor, n_win_src))
+
+    plans = []
+    for p, (o, nb, w) in enumerate(halves):
+        def build(o=o, nb=nb, w=w, anchor=anchors[p]):
+            plan, ok = build_halfedge_plan(
+                ncp, o, nb, w[:, None], kw=kw, l_cap=l_cap,
+                num_nbr_nodes=Bs, anchor=anchor)
+            plan.spill_a = o[~ok].astype(np.int32)
+            plan.spill_b = nb[~ok].astype(np.int32)
+            plan.spill_w = w[~ok]
+            plan.num_spilled_edges = int((~ok).sum())
+            return plan
+
+        plans.append(cached_plan(
+            plan_cache_dir, f"shardres-p{p}of{P}",
+            (o, nb, w, anchors[p], np.asarray([Bs, ncp, kw, l_cap])),
+            build))
+
+    l_max = max(pl.l_max for pl in plans)
+    hs = max(1, max(pl.spill_a.shape[0] for pl in plans))
+
+    def padl(a, target_l):
+        padw = [(0, 0)] * a.ndim
+        padw[1] = (0, target_l - a.shape[1])
+        return np.pad(a, padw)
+
+    sl.rwin_arrays = {
+        "base": np.stack([pl.base_win for pl in plans]),
+        "nl": np.stack([pl.layer_count for pl in plans]),
+        "own": np.stack([pl.own_local for pl in plans]),
+        "lwins": np.stack([padl(pl.layer_wins, l_max) for pl in plans]),
+        "wsel": np.stack([padl(pl.wsel, l_max) for pl in plans]),
+        "ci": np.stack([padl(pl.col_idx, l_max) for pl in plans]),
+        "rs": np.stack([padl(pl.row_sel, l_max) for pl in plans]),
+        "w4": np.stack([padl(pl.w4, l_max) for pl in plans]),
+    }
+    sl.rwin_spill_dest = np.stack(
+        [_pad_to(pl.spill_a, hs, 0) for pl in plans])
+    sl.rwin_spill_src = np.stack(
+        [_pad_to(pl.spill_b, hs, 0) for pl in plans])
+    sl.rwin_spill_w = np.stack(
+        [_pad_to(pl.spill_w.reshape(-1), hs, 0.0) for pl in plans])
+    sl.rwin_wmap, sl.rwin_buckets = shared_depth_buckets(
+        sl.rwin_arrays["nl"])
+    sl.rwin_dest = ncp
+    import dataclasses as _dc
+    sl.rwin_template = _dc.replace(
+        plans[0], l_max=l_max,
+        layer_wins=sl.rwin_arrays["lwins"][0],
+        wsel=sl.rwin_arrays["wsel"][0], col_idx=sl.rwin_arrays["ci"][0],
+        row_sel=sl.rwin_arrays["rs"][0], w4=sl.rwin_arrays["w4"][0])
+
+
 def _attach_mg(sl: ShardedLevelData, lvl: MeshLevel, coarse: MeshLevel,
                P: int) -> None:
     """MG bookkeeping from sharded `lvl` to raw-indexed `coarse` (used
@@ -730,6 +841,22 @@ def partition_mesh(mesh, P: int, use_shift: bool = False,
                                        plan_cache_dir=plan_cache_dir)
         if i + 1 < S:
             _attach_mg_padded(sl, slevels[i + 1], mesh.levels[i], P)
+        if use_window and i + 1 < L:
+            mapping = mesh.levels[i].mg_mapping.astype(np.int64)
+            if i + 1 < S:
+                # coarse is ALSO sharded: dest = padded-global block
+                # space (matches mgp_pad; psum_scatter landing)
+                sc = slevels[i + 1]
+                Bc, Wc = sc.block, sc.part_width
+                pc = np.minimum(mapping // Wc, P - 1)
+                dest = pc * Bc + (mapping - pc * Wc)
+                _attach_restrict_window(sl, mesh.levels[i], P, dest,
+                                        P * Bc,
+                                        plan_cache_dir=plan_cache_dir)
+            else:
+                _attach_restrict_window(sl, mesh.levels[i], P, mapping,
+                                        mesh.levels[i + 1].num_nodes,
+                                        plan_cache_dir=plan_cache_dir)
     return ShardedMeshData(levels=slevels, coarse_levels=mesh.levels[S:],
                            P=P)
 

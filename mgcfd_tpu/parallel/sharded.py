@@ -90,8 +90,8 @@ def _window_flux_total(sd, const, q, wkernels):
         q[:, wsd], comb[:, const["wsp_src"]], const["wsp_w"].T)
     flux = flux + tops.t_segment_accumulate(val, wsd, B)
     flux = flux + tops.t_dense_boundary_wall_flux(
-        q, const["dense_bd"].T, const["dense_wl"].T,
-        const["dense_wlc"].T)
+        q, const["dense_bd"], const["dense_wl"],
+        const["dense_wlc"])
     return flux
 
 
@@ -149,8 +149,8 @@ def _stream_flux_total(sd, const, q, ff_flux, use_shift):
     if "dense_bd" in const:
         # dense aggregated boundary/wall (ops.tops semantics)
         bw = tops.t_dense_boundary_wall_flux(
-            q, const["dense_bd"].T, const["dense_wl"].T,
-            const["dense_wlc"].T)
+            q, const["dense_bd"], const["dense_wl"],
+            const["dense_wlc"])
         flux = flux + bw.T
     else:
         val_bd = boundary_edge_flux(v_nm[const["bedge_b"]],
@@ -257,10 +257,27 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
     return variables, old, res, jax.lax.psum(invalid, AXIS), rw_token
 
 
-def _sharded_restrict(sd, const, variables_block, coarse_vars):
-    """Fine (sharded) -> coarse (replicated): local partial segment-sum,
-    psum, then the reference's average/keep-old semantics."""
+def _sharded_restrict(sd, const, variables_block, coarse_vars,
+                      rkernel=None):
+    """Fine (sharded) -> coarse (replicated). Production path (rkernel,
+    accumulate=window/pallas): per-shard windowed cross-space partial
+    means (weights 1/count_global folded), ONE psum — no scatter op in
+    the program. Fallback: local partial segment-sum + psum. Both end
+    with the reference's average/keep-old semantics."""
     nc = coarse_vars.shape[0]
+    if rkernel is not None and "rwin_base" in const:
+        from ..ops import tops
+
+        q = variables_block.T                       # (5, Bs)
+        warrs = {k: const["rwin_" + k] for k in
+                 ("base", "nl", "own", "lwins", "wsel", "ci", "rs",
+                  "w4", "wmap")}
+        part = rkernel(q, arrays=warrs)             # (5, ncp)
+        vals = const["rwsp_w"][None] * q[:, const["rwsp_src"]]
+        part = part + tops.t_segment_accumulate(
+            vals, const["rwsp_dest"], part.shape[1])
+        mean = jax.lax.psum(part, AXIS)[:, :nc].T   # (nc, NVAR)
+        return jnp.where(const["mg_mapped"][:, None], mean, coarse_vars)
     partial = jax.ops.segment_sum(variables_block, const["mg_mapping"],
                                   num_segments=nc + 1)[:nc]
     sums = jax.lax.psum(partial, AXIS)
@@ -336,12 +353,30 @@ def _sharded_prolong(sd, const, res_coarse, res_fine, vars_fine,
 
 
 def _sharded_restrict_to_sharded(sd_f, const_f, vars_f_block,
-                                 vars_c_block):
+                                 vars_c_block, rkernel=None):
     """Fine (sharded) -> coarse (ALSO sharded, SCALING.md crossover):
-    partial segment-sums target the coarse level's PADDED block space
-    and ONE psum_scatter lands each shard its own coarse block — the
-    coarse level is never replicated."""
+    partial sums target the coarse level's PADDED block space and ONE
+    psum_scatter lands each shard its own coarse block — the coarse
+    level is never replicated. Production path (rkernel): windowed
+    partial means instead of the segment-sum scatter."""
     P = sd_f.P
+    if rkernel is not None and "rwin_base" in const_f:
+        from ..ops import tops
+
+        Bc = vars_c_block.shape[0]
+        q = vars_f_block.T                          # (5, Bs)
+        warrs = {k: const_f["rwin_" + k] for k in
+                 ("base", "nl", "own", "lwins", "wsel", "ci", "rs",
+                  "w4", "wmap")}
+        part = rkernel(q, arrays=warrs)             # (5, P*Bc)
+        vals = const_f["rwsp_w"][None] * q[:, const_f["rwsp_src"]]
+        part = part + tops.t_segment_accumulate(
+            vals, const_f["rwsp_dest"], part.shape[1])
+        mean = jax.lax.psum_scatter(
+            part.reshape(NVAR, P, Bc), AXIS,
+            scatter_dimension=1).reshape(NVAR, Bc).T
+        return jnp.where(const_f["mgc_mapped"][:, None], mean,
+                         vars_c_block)
     Bc = vars_c_block.shape[0]
     partial = jax.ops.segment_sum(vars_f_block, const_f["mgp_pad"],
                                   num_segments=P * Bc + 1)[:P * Bc]
@@ -388,12 +423,17 @@ def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
     if sd.shift_deltas:
         sharded_const["shift_wpad"] = to_dev(sd.shift_wpad)
     if sd.dense_bd is not None:
-        sharded_const["dense_bd"] = to_dev(sd.dense_bd)
-        sharded_const["dense_wl"] = to_dev(sd.dense_wl)
+        # stored pre-TRANSPOSED, (P, 3|5, B): the runtime `.T` of the
+        # shard slice materialised as a pathological-tiling transpose +
+        # broadcast on-chip (~2.1 ms/cycle at flagship P=1, sp1_diag)
+        sharded_const["dense_bd"] = to_dev(
+            sd.dense_bd.transpose(0, 2, 1))
+        sharded_const["dense_wl"] = to_dev(
+            sd.dense_wl.transpose(0, 2, 1))
         fff = np.asarray(far_field_state(np.float64)[1])
-        # per-shard wall far-field constant: 0.5 * W . F_ff, (P, B, 5)
-        sharded_const["dense_wlc"] = to_dev(
-            0.5 * np.einsum("pbd,dv->pbv", sd.dense_wl, fff))
+        # per-shard wall far-field constant: 0.5 * W . F_ff
+        sharded_const["dense_wlc"] = to_dev(0.5 * np.einsum(
+            "pbd,dv->pbv", sd.dense_wl, fff).transpose(0, 2, 1))
     wkernels = None
     if (config.accumulate in ("window", "pallas")
             and sd.win_arrays is not None):
@@ -483,6 +523,34 @@ def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
             "pwsp_src": to_dev(sd.pwin_spill_src, jnp.int32),
             "pwsp_w": to_dev(sd.pwin_spill_w),
         })
+    rkernel = None
+    if (config.accumulate in ("window", "pallas")
+            and sd.rwin_arrays is not None):
+        # windowed restriction, per shard: coarse owners gather local
+        # fine children at 1/count_global; the psum/psum_scatter of the
+        # partials is the segment mean directly (see
+        # partition._attach_restrict_window)
+        from ..pallas.flux_window import PallasWindowFlux
+        interp = mesh.devices.flat[0].platform == "cpu"
+        rkernel = PallasWindowFlux(sd.rwin_template, sd.rwin_dest,
+                                   dtype=dtype, interpret=interp,
+                                   arrays={}, mode="wsum",
+                                   buckets=sd.rwin_buckets)
+        ra = sd.rwin_arrays
+        sharded_const.update({
+            "rwin_base": to_dev(ra["base"], jnp.int32),
+            "rwin_nl": to_dev(ra["nl"], jnp.int32),
+            "rwin_own": to_dev(ra["own"], jnp.int32),
+            "rwin_lwins": to_dev(ra["lwins"], jnp.int32),
+            "rwin_wsel": to_dev(ra["wsel"], jnp.int32),
+            "rwin_ci": to_dev(ra["ci"], jnp.int32),
+            "rwin_rs": to_dev(ra["rs"], jnp.int32),
+            "rwin_w4": to_dev(ra["w4"]),
+            "rwin_wmap": to_dev(sd.rwin_wmap, jnp.int32),
+            "rwsp_dest": to_dev(sd.rwin_spill_dest, jnp.int32),
+            "rwsp_src": to_dev(sd.rwin_spill_src, jnp.int32),
+            "rwsp_w": to_dev(sd.rwin_spill_w),
+        })
     # ... and replicated constants
     replicated_const = {}
     if sd.mg_counts is not None:
@@ -490,7 +558,7 @@ def build_sharded_consts(sd, config: SolverConfig, dtype, mesh: Mesh):
         replicated_const["mg_mapped"] = jnp.asarray(sd.mg_mapped)
     if sd.c_raw2pad is not None:
         replicated_const["c_raw2pad"] = to_dev(sd.c_raw2pad, jnp.int32)
-    return sharded_const, replicated_const, wkernels, pkernel
+    return sharded_const, replicated_const, wkernels, pkernel, rkernel
 
 
 def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
@@ -508,12 +576,15 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
     sh_all, rep_all = {}, {}
     wk_list = []
     pk_list = []
+    rk_list = []
     for i, sdl in enumerate(smesh.levels):
-        cs, cr, wk, pk = build_sharded_consts(sdl, config, dtype, mesh)
+        cs, cr, wk, pk, rk = build_sharded_consts(sdl, config, dtype,
+                                                  mesh)
         sh_all.update({f"L{i}_{k}": v for k, v in cs.items()})
         rep_all.update({f"L{i}_{k}": v for k, v in cr.items()})
         wk_list.append(wk)
         pk_list.append(pk)
+        rk_list.append(rk)
 
     L = S + len(dmesh_coarse)
 
@@ -562,30 +633,34 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
             if i + 1 < S:
                 vars_s[i + 1] = _sharded_restrict_to_sharded(
                     smesh.levels[i], const_l[i], vars_s[i],
-                    vars_s[i + 1])
+                    vars_s[i + 1], rkernel=rk_list[i])
             elif L > S:
                 vars_c[0] = _sharded_restrict(
-                    smesh.levels[i], const_l[i], vars_s[i], vars_c[0])
+                    smesh.levels[i], const_l[i], vars_s[i], vars_c[0],
+                    rkernel=rk_list[i])
 
         C = L - S                       # replicated level count
         if C > 0:
-            # --- replicated chain up ---
+            # --- replicated chain up --- (transfers use the SAME
+            # precomputed-table dispatch as the single-chip solver:
+            # structured parity / gather tables; the raw ops recompute
+            # the prolong geometry from coords EVERY cycle and measured
+            # ~2.1 ms/cycle on-chip at flagship P=1, sp1_diag)
+            from ..solver.solver import (apply_prolong_padded,
+                                         apply_restrict_padded)
             for i in range(C - 1):
                 vars_c[i], res_c[i] = visit_coarse(i, vars_c[i])
-                vars_c[i + 1] = mg_restrict(
-                    vars_c[i], vars_c[i + 1], dmesh_coarse[i].mg_mapping,
-                    dmesh_coarse[i + 1].num_nodes)
+                vars_c[i + 1] = apply_restrict_padded(
+                    dmesh_coarse[i], dmesh_coarse[i + 1], vars_c[i],
+                    vars_c[i + 1], False)
             # top level
             vars_c[C - 1], res_c[C - 1] = visit_coarse(C - 1,
                                                        vars_c[C - 1])
             # --- down sweep over replicated levels ---
             for i in range(C - 2, -1, -1):
-                fine = dmesh_coarse[i]
-                coarse = dmesh_coarse[i + 1]
-                vars_c[i] = prolong_residuals_interpolate(
-                    res_c[i + 1], res_c[i], vars_c[i],
-                    fine.mg_mapping, coarse.coords, fine.coords,
-                    fine.edge_a, fine.edge_b)
+                vars_c[i] = apply_prolong_padded(
+                    dmesh_coarse[i], dmesh_coarse[i + 1],
+                    res_c[i + 1], res_c[i], vars_c[i], False)
                 vars_c[i], res_c[i] = visit_coarse(i, vars_c[i])
 
         # --- down sweep over sharded levels (prolong/visit pairs;
