@@ -301,6 +301,40 @@ def _tet_phase(em, n_edges):
     return s
 
 
+def _in_cycle_flux(solver, n_edges):
+    """MEASURED in-cycle flux rate + HBM-roofline share (VERDICT r04 #6).
+
+    The repeated-dispatch flux metric pays tunnel dispatch per
+    repetition and swung 2x across sessions; the stable kernel number
+    is the xplane-measured per-eval time inside a real traced cycle
+    (monitor/opstats.measure_production over the production program's
+    named scopes — the same pipeline as --measure-ops). Returns
+    (edges_per_sec, pct_hbm_peak) or None on any failure; in fused-stage
+    mode the flux row includes the in-kernel time_step (slightly
+    conservative). pct_hbm_peak divides the kernel's minimum HBM motion
+    (one read of the (5, N) state operand + one write of the flux) by
+    the device peak — the flux kernel is gather-issue-bound, so a LOW
+    share is the honest roofline statement."""
+    from mgcfd_tpu.core.constants import RK
+    from mgcfd_tpu.bench.aggregate import device_peaks
+    from mgcfd_tpu.monitor.opstats import measure_production
+
+    m = measure_production(solver, cycles=1)
+    fl = m.get(("flux", 0))
+    if not fl or fl["time_us"] <= 0:
+        return None
+    t_eval = fl["time_us"] / 1e6 / RK        # level 0: RK evals/cycle
+    rate = n_edges / t_eval
+    lvl0 = solver.dmesh.levels[0]
+    npad = lvl0.num_lanes or lvl0.num_nodes
+    kern = lvl0.window_flux or lvl0.pallas_flux
+    n_in = getattr(kern, "padded_in", npad) if kern is not None else npad
+    bytes_eval = 4.0 * 5 * (n_in + npad)     # X read + flux write, fp32
+    _, peak_bw = device_peaks(jax.devices()[0].device_kind)
+    pct = (100.0 * bytes_eval / t_eval / peak_bw) if peak_bw else None
+    return rate, pct
+
+
 def _marginal(solver):
     """MARGINAL per-cycle cost (sustained throughput): the K-batch slope
     cancels the fixed per-dispatch tunnel overhead (~93 ms through axon
@@ -377,6 +411,26 @@ def main():
         except Exception as e:   # a mode failing must not kill the bench
             _note(f"mode {mode} failed: {type(e).__name__}: {e}")
 
+    # Measured in-cycle flux rate of the best flagship mode (one traced
+    # cycle; stable across tunnel sessions where the repeated-dispatch
+    # metric swings 2x — VERDICT r04 #6). Fallback-safe + budget-gated.
+    if em.flux_modes and _remaining() > 180:
+        try:
+            bm = max(em.flux_modes, key=em.flux_modes.get)
+            r = _in_cycle_flux(solvers[bm], n_edges)
+            if r is not None:
+                rate, pct = r
+                em.extras["flux_in_cycle_edges_per_sec"] = round(rate, 1)
+                em.extras["flux_in_cycle_vs_baseline"] = round(
+                    rate / CPU_BASELINE_FLUX_EDGES_PER_SEC, 3)
+                if pct is not None:
+                    em.extras["pct_hbm_peak_flux"] = round(pct, 2)
+                _note(f"in-cycle flux ({bm}): {rate / 1e6:.0f} M edges/s"
+                      + (f", {pct:.1f}% HBM peak" if pct else ""))
+                em.emit(n_edges)
+        except Exception as e:
+            _note(f"in-cycle flux failed: {type(e).__name__}: {e}")
+
     # Phase 3: unstructured tet flagship (the reference's real workload
     # shape). Cold tet compiles are the most expensive in the suite;
     # gate on remaining budget so the flagship line always survives.
@@ -390,6 +444,23 @@ def main():
             _note(f"tet metrics failed: {type(e).__name__}: {e}")
     else:
         _note(f"budget: skipping tet phase ({_remaining():.0f}s left)")
+
+    if tet_solver is not None and _remaining() > 180:
+        try:
+            E = tet_solver.mesh.levels[0].num_internal_edges
+            r = _in_cycle_flux(tet_solver, E)
+            if r is not None:
+                rate, pct = r
+                em.extras["tet_flux_in_cycle_edges_per_sec"] = round(
+                    rate, 1)
+                em.extras["tet_flux_in_cycle_vs_cpu"] = round(
+                    rate / CPU_TET_FLUX_EDGES_PER_SEC, 3)
+                if pct is not None:
+                    em.extras["tet_pct_hbm_peak_flux"] = round(pct, 2)
+                _note(f"tet in-cycle flux: {rate / 1e6:.0f} M edges/s")
+                em.emit(n_edges)
+        except Exception as e:
+            _note(f"tet in-cycle flux failed: {type(e).__name__}: {e}")
 
     # Phase 4 (opt-in extras): marginal-K slopes + indirect-rw twin.
     if full and em.vcycle_modes and _remaining() > 300:
