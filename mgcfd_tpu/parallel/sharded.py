@@ -698,10 +698,22 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
         check_vma=False,
     )
 
+    # Mesh/plan constants MUST travel as jit ARGUMENTS, not closure
+    # constants (the single-chip _parametrised rule): closure-embedded
+    # arrays bloat the serialized HLO — the tet-flagship sharded
+    # program's plan arrays blew this environment's remote compiler
+    # limit outright (HTTP 413) — and device-resident closure constants
+    # are fetched back through the tunnel at every lowering.
     @jax.jit
-    def step(state):
-        return shmapped(sh_all, rep_all, state)
+    def step_jit(state, sh, rep):
+        return shmapped(sh, rep, state)
 
+    def step(state):
+        return step_jit(state, sh_all, rep_all)
+
+    step.lower = lambda state: step_jit.lower(state, sh_all, rep_all)
+    step.raw = lambda state, sh, rep: shmapped(sh, rep, state)
+    step.consts = (sh_all, rep_all)
     return step, wk_list[0]
 
 
@@ -939,14 +951,21 @@ class ShardedSolver:
         keeps the whole batch on-device between host syncs."""
         k = max(1, min(cycles_per_dispatch, cycles))
         if getattr(self, "_multi_k", None) != k:
-            cycle = self._cycle
+            raw = self._cycle.raw
+            consts = self._cycle.consts
 
+            # consts as jit arguments (see make_sharded_cycle_fn: the
+            # closure-embedded form blew the remote compiler's size
+            # limit on the tet-flagship sharded program)
             @jax.jit
-            def multi(state):
+            def multi_jit(state, sh, rep):
                 def body(s, _):
-                    s2, rms, inv = cycle(s)
+                    s2, rms, inv = raw(s, sh, rep)
                     return s2, (rms, inv)
                 return jax.lax.scan(body, state, None, length=k)
+
+            def multi(state, _c=consts):
+                return multi_jit(state, *_c)
 
             self._multi = multi
             self._multi_k = k

@@ -59,31 +59,37 @@ def _build(preset: str):
                                   volume_jitter=0.2, seed=0)
 
 
-def acceptance(mesh, cycles: int = 2, tol: float = 5e-7,
-               rms_digits: int = 3, accumulate: str | None = None,
-               plan_cache_dir: str = "") -> dict:
-    """Run the criterion on `mesh`; returns the verdict dict (key
-    "accepted"). See module docstring for the (a)/(b)/(c) clauses."""
+def run_leg(mesh, dtype: str, cycles: int = 2,
+            accumulate: str | None = None,
+            plan_cache_dir: str = "") -> tuple:
+    """One dtype leg -> (variables0, rms_history). The fp64 oracle runs
+    accumulate='segment'; the fp32 leg runs the production
+    configuration under test (see module docstring). Factored out so
+    the two legs can run in SEPARATE PROCESSES — the real-TPU fp32 leg
+    cannot share a process with the x64 oracle (fp64 modules are not a
+    supported TPU configuration here), so the TPU certification flow is
+    leg-fp32 on the chip + leg-fp64 on the CPU backend + judge over the
+    npz handoff (VERDICT r04 #2)."""
     from ..core.config import SolverConfig
     from ..solver import MGCFDSolver
 
-    kw = dict(include_indirect_rw=False, plan_cache_dir=plan_cache_dir)
-    if accumulate:
-        kw["accumulate"] = accumulate
-    s32 = MGCFDSolver(mesh, SolverConfig(dtype="float32", **kw))
-    s32.run(cycles)
-    v32 = s32.variables(0)
-    rms32 = list(s32.rms_history)
-    del s32
+    if dtype == "float64":
+        kw = dict(accumulate="segment")
+    else:
+        kw = dict(plan_cache_dir=plan_cache_dir)
+        if accumulate:
+            kw["accumulate"] = accumulate
+    s = MGCFDSolver(mesh, SolverConfig(dtype=dtype,
+                                       include_indirect_rw=False, **kw))
+    s.run(cycles)
+    return s.variables(0), list(s.rms_history)
 
-    s64 = MGCFDSolver(mesh, SolverConfig(
-        dtype="float64", accumulate="segment",
-        include_indirect_rw=False))
-    s64.run(cycles)
-    v64 = s64.variables(0)
-    rms64 = list(s64.rms_history)
-    del s64
 
+def judge(v32, rms32, v64, rms64, cycles: int, tol: float = 5e-7,
+          rms_digits: int = 3, num_internal_edges: int = 0) -> dict:
+    """Apply the (a)/(b)/(c) clauses to the two legs' results."""
+    rms32 = [float(r) for r in rms32]   # npz legs arrive as np scalars
+    rms64 = [float(r) for r in rms64]
     finite = all(math.isfinite(r) for r in rms32)
     # Mixed relative/absolute error with a PER-CHANNEL scale floor:
     # |a-b| <= tol * (|b| + max_channel|b|). The floor is what makes
@@ -120,9 +126,21 @@ def acceptance(mesh, cycles: int = 2, tol: float = 5e-7,
         "rms_fp64": rms64,
         "rms_agree_digits": rms_digits,
         "rms_agree": rms_agree,
-        "num_internal_edges": int(mesh.levels[0].num_internal_edges),
+        "num_internal_edges": int(num_internal_edges),
         "accepted": bool(finite and max_rel <= tol and rms_agree),
     }
+
+
+def acceptance(mesh, cycles: int = 2, tol: float = 5e-7,
+               rms_digits: int = 3, accumulate: str | None = None,
+               plan_cache_dir: str = "") -> dict:
+    """Both legs in one process (the CPU-backend flow); returns the
+    verdict dict (key "accepted")."""
+    v32, rms32 = run_leg(mesh, "float32", cycles, accumulate,
+                         plan_cache_dir)
+    v64, rms64 = run_leg(mesh, "float64", cycles)
+    return judge(v32, rms32, v64, rms64, cycles, tol, rms_digits,
+                 mesh.levels[0].num_internal_edges)
 
 
 def main(argv=None) -> int:
@@ -141,13 +159,49 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None,
                    help="pin the JAX backend (e.g. cpu)")
     p.add_argument("--plan-cache", default="")
+    p.add_argument("--split", default=None,
+                   choices=["leg-fp32", "leg-fp64", "judge"],
+                   help="two-process flow for TPU certification: run "
+                        "one dtype leg and save it (--out), or judge "
+                        "two saved legs (--fp32/--fp64)")
+    p.add_argument("--out", default=None, help="npz path for a leg")
+    p.add_argument("--fp32", default=None, help="saved fp32 leg (judge)")
+    p.add_argument("--fp64", default=None, help="saved fp64 leg (judge)")
     args = p.parse_args(argv)
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_enable_x64", True)   # the oracle dtype
+    if args.split != "leg-fp32":
+        jax.config.update("jax_enable_x64", True)   # the oracle dtype
+
+    if args.split == "judge":
+        a = np.load(args.fp32)
+        b = np.load(args.fp64)
+        assert int(a["cycles"]) == int(b["cycles"]), "leg cycle mismatch"
+        verdict = judge(a["v"], list(a["rms"]), b["v"], list(b["rms"]),
+                        int(a["cycles"]), tol=args.tol,
+                        num_internal_edges=int(a["edges"]))
+        verdict["preset"] = args.preset
+        verdict["fp32_device"] = str(a["device"])
+        verdict["fp64_device"] = str(b["device"])
+        print(json.dumps(verdict))
+        return 0 if verdict["accepted"] else 1
 
     mesh = _build(args.preset)
+    if args.split in ("leg-fp32", "leg-fp64"):
+        dtype = "float32" if args.split == "leg-fp32" else "float64"
+        v, rms = run_leg(mesh, dtype, cycles=args.cycles,
+                         accumulate=args.accumulate,
+                         plan_cache_dir=args.plan_cache)
+        np.savez_compressed(
+            args.out, v=np.asarray(v), rms=np.asarray(rms),
+            cycles=args.cycles, device=str(jax.devices()[0]),
+            edges=mesh.levels[0].num_internal_edges)
+        print(json.dumps({"leg": args.split, "preset": args.preset,
+                          "out": args.out,
+                          "device": str(jax.devices()[0])}))
+        return 0
+
     verdict = acceptance(mesh, cycles=args.cycles, tol=args.tol,
                          accumulate=args.accumulate,
                          plan_cache_dir=args.plan_cache)
