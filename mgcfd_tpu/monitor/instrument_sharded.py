@@ -55,7 +55,23 @@ class InstrumentedShardedSolver:
         self._base = ShardedSolver(mesh, config, devices=devices)
         self.smesh = self._base.smesh
         self.jmesh: Mesh = self._base.jmesh
+        # the fused sharded cycle now runs its replicated coarse chain
+        # in the single-chip production layout (lane-padded variable-
+        # major, windowed kernels); this per-kernel-timed variant keeps
+        # its own unpadded node-major coarse build — per-kernel timing
+        # needs separable dispatches, and the shift-path coarse kernels
+        # are the separable form
         self.dmesh_coarse = self._base.dmesh_coarse
+        if self._base._tc and self.dmesh_coarse:
+            import dataclasses as _dc0
+            from ..core.constants import MeshVariant as _MV
+            from ..core.types import MultigridMesh as _MM
+            from ..solver.solver import prepare_device_mesh as _pdm
+            S0 = len(self.smesh.levels)
+            cond = _MM(levels=self._base._conditioned.levels[S0:],
+                       variant=_MV.FVCORR)
+            self.dmesh_coarse = _pdm(
+                cond, _dc0.replace(config, accumulate="shift")).levels
         self.dtype = jnp.dtype(config.dtype)
         self.legacy = mesh.variant.uses_legacy_step_factor
         ff_q, ff_flux = far_field_state(np.float64)
@@ -72,10 +88,11 @@ class InstrumentedShardedSolver:
                                      sharding)
         self.res_f = jax.device_put(self._base.state["residuals0"],
                                     sharding)
-        self.vars_c = [jnp.asarray(v) for v in
-                       self._base.state["variables_c"]]
-        self.res_c = [jnp.asarray(r) for r in
-                      self._base.state["residuals_c"]]
+        ff_q = jnp.asarray(far_field_state(np.float64)[0], self.dtype)
+        self.vars_c = [jnp.tile(ff_q[None, :], (l.num_nodes, 1))
+                       for l in self.dmesh_coarse]
+        self.res_c = [jnp.zeros((l.num_nodes, NVAR), self.dtype)
+                      for l in self.dmesh_coarse]
         self.rms_history: list[float] = []
         self._sd = sd
 

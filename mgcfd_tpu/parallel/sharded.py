@@ -258,13 +258,14 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
 
 
 def _sharded_restrict(sd, const, variables_block, coarse_vars,
-                      rkernel=None):
+                      rkernel=None, coarse_transposed=False):
     """Fine (sharded) -> coarse (replicated). Production path (rkernel,
     accumulate=window/pallas): per-shard windowed cross-space partial
     means (weights 1/count_global folded), ONE psum — no scatter op in
     the program. Fallback: local partial segment-sum + psum. Both end
-    with the reference's average/keep-old semantics."""
-    nc = coarse_vars.shape[0]
+    with the reference's average/keep-old semantics. coarse_vars is
+    (5, num_lanes) when the coarse chain runs the production
+    variable-major layout (coarse_transposed), else (Nc, NVAR)."""
     if rkernel is not None and "rwin_base" in const:
         from ..ops import tops
 
@@ -276,8 +277,25 @@ def _sharded_restrict(sd, const, variables_block, coarse_vars,
         vals = const["rwsp_w"][None] * q[:, const["rwsp_src"]]
         part = part + tops.t_segment_accumulate(
             vals, const["rwsp_dest"], part.shape[1])
-        mean = jax.lax.psum(part, AXIS)[:, :nc].T   # (nc, NVAR)
-        return jnp.where(const["mg_mapped"][:, None], mean, coarse_vars)
+        mean = jax.lax.psum(part, AXIS)             # (5, ncp)
+        mp = const["mg_mapped"]
+        if coarse_transposed:
+            W = coarse_vars.shape[1]                # == ncp (num_lanes)
+            mask = jnp.pad(mp, (0, W - mp.shape[0]))
+            return jnp.where(mask[None], mean[:, :W], coarse_vars)
+        nc = coarse_vars.shape[0]
+        return jnp.where(mp[:, None], mean[:, :nc].T, coarse_vars)
+    if coarse_transposed:
+        # stream fallback under a transposed coarse chain (shift mode):
+        # compute node-major, write back under an add root (pad fuses)
+        nc = int(const["mg_mapped"].shape[0])
+        cv_nm = coarse_vars[:, :nc].T
+        new = _sharded_restrict(sd, const, variables_block, cv_nm)
+        d = coarse_vars.shape[1] - nc
+        return coarse_vars + jax.lax.pad(
+            (new - cv_nm).T, jnp.zeros((), coarse_vars.dtype),
+            ((0, 0, 0), (0, d, 0)))
+    nc = coarse_vars.shape[0]
     partial = jax.ops.segment_sum(variables_block, const["mg_mapping"],
                                   num_segments=nc + 1)[:nc]
     sums = jax.lax.psum(partial, AXIS)
@@ -288,7 +306,7 @@ def _sharded_restrict(sd, const, variables_block, coarse_vars,
 
 
 def _sharded_prolong(sd, const, res_coarse, res_fine, vars_fine,
-                     pkernel=None):
+                     pkernel=None, coarse_transposed=False):
     """Coarse (replicated/gathered-raw) residuals -> sharded fine
     correction. Production path (pkernel, accumulate=window/pallas):
     the per-shard COMPOSED windowed wsum kernel computes wavg for the
@@ -299,7 +317,9 @@ def _sharded_prolong(sd, const, res_coarse, res_fine, vars_fine,
     if pkernel is not None and "pwin_base" in const:
         from ..ops import tops
 
-        rc_t = res_coarse.T                        # (5, Nc)
+        # (5, Nc[p]): already variable-major when the coarse chain runs
+        # the production layout — no transpose at all on that path
+        rc_t = res_coarse if coarse_transposed else res_coarse.T
         pad = pkernel.padded_in - rc_t.shape[1]
         if pad:
             rc_t = jnp.concatenate(
@@ -316,6 +336,8 @@ def _sharded_prolong(sd, const, res_coarse, res_fine, vars_fine,
             * const["node_mask"][:, None]
     B = vars_fine.shape[0]
     pool_sz = sd.P * sd.smax
+    if coarse_transposed:
+        res_coarse = res_coarse.T                  # (Np, NVAR) view
     r_a1 = res_coarse[const["pro_a1"]]
     r_b1 = res_coarse[const["pro_b1"]]
 
@@ -349,7 +371,7 @@ def _sharded_prolong(sd, const, res_coarse, res_fine, vars_fine,
     safe_w = jnp.where(ws_local > 0, ws_local, jnp.ones_like(ws_local))
     wavg = jnp.where(coincident[:, None], res_coarse[const["parent"]],
                      acc_local / safe_w[:, None])
-    return vars_fine + (res_fine - wavg)
+    return vars_fine + (res_fine - wavg)  # noqa: E501  (node-major path)
 
 
 def _sharded_restrict_to_sharded(sd_f, const_f, vars_f_block,
@@ -587,6 +609,10 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
         rk_list.append(rk)
 
     L = S + len(dmesh_coarse)
+    # coarse-chain state layout (must match ShardedSolver._tc)
+    tc = bool(dmesh_coarse) and (
+        (config.transposed or config.accumulate in ("pallas", "window"))
+        and all(l.shift is not None for l in dmesh_coarse))
 
     def cycle(const_sh, const_rep, state):
         # sharded constants arrive with a leading shard axis of size 1
@@ -616,7 +642,8 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
         def visit_coarse(i, v):
             nonlocal invalid_total
             v, old, r, sf, inv, tok = _visit(
-                dmesh_coarse[i], v, ff_flux, config, legacy)
+                dmesh_coarse[i], v, ff_flux, config, legacy,
+                io_transposed=tc, tag=S + i)
             # replicated computation: inv is identical on every shard
             invalid_total = invalid_total + inv
             return v, r
@@ -637,7 +664,7 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
             elif L > S:
                 vars_c[0] = _sharded_restrict(
                     smesh.levels[i], const_l[i], vars_s[i], vars_c[0],
-                    rkernel=rk_list[i])
+                    rkernel=rk_list[i], coarse_transposed=tc)
 
         C = L - S                       # replicated level count
         if C > 0:
@@ -652,7 +679,7 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
                 vars_c[i], res_c[i] = visit_coarse(i, vars_c[i])
                 vars_c[i + 1] = apply_restrict_padded(
                     dmesh_coarse[i], dmesh_coarse[i + 1], vars_c[i],
-                    vars_c[i + 1], False)
+                    vars_c[i + 1], tc)
             # top level
             vars_c[C - 1], res_c[C - 1] = visit_coarse(C - 1,
                                                        vars_c[C - 1])
@@ -660,7 +687,7 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
             for i in range(C - 2, -1, -1):
                 vars_c[i] = apply_prolong_padded(
                     dmesh_coarse[i], dmesh_coarse[i + 1],
-                    res_c[i + 1], res_c[i], vars_c[i], False)
+                    res_c[i + 1], res_c[i], vars_c[i], tc)
                 vars_c[i], res_c[i] = visit_coarse(i, vars_c[i])
 
         # --- down sweep over sharded levels (prolong/visit pairs;
@@ -675,7 +702,8 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
                     res_above = res_c[0]
                 vars_s[i] = _sharded_prolong(
                     smesh.levels[i], const_l[i], res_above, res_s[i],
-                    vars_s[i], pkernel=pk_list[i])
+                    vars_s[i], pkernel=pk_list[i],
+                    coarse_transposed=(i + 1 == S and tc))
                 if i > 0:
                     vars_s[i], res_s[i] = visit_sharded(i, vars_s[i])
 
@@ -763,6 +791,7 @@ class ShardedSolver:
                 conditioned, P_, shape)
             self.part_invs = [np.argsort(o) for o in self.part_orders]
 
+        self._conditioned = conditioned
         self.smesh = partition_mesh(
             conditioned, P_, use_shift=config.accumulate == "shift",
             use_window=config.accumulate in ("window", "pallas"),
@@ -775,20 +804,34 @@ class ShardedSolver:
         dmesh_coarse = []
         if conditioned.num_levels > S:
             from ..core.constants import MeshVariant
-            import dataclasses as _dc2
             no_recondition = MultigridMesh(
                 levels=conditioned.levels[S:], variant=MeshVariant.FVCORR)
-            # replicated coarse levels run the shift path even when the
-            # fine level's config says pallas/window: those kernels
-            # lane-pad the state, and the sharded coarse state is built
-            # unpadded (same numerics; coarse levels are ~8x smaller so
-            # the kernel choice is immaterial there)
-            coarse_cfg = config
-            if config.accumulate in ("pallas", "window"):
-                coarse_cfg = _dc2.replace(config, accumulate="shift")
-            dm = prepare_device_mesh(no_recondition, coarse_cfg)
+            # replicated coarse levels run the SAME production
+            # configuration as the single-chip solver — windowed/pallas
+            # kernels, precomputed windowed MG transfers, lane-padded
+            # variable-major state. (Until round 5 they were swapped to
+            # the shift/stream path with unpadded node-major state; on
+            # the unstructured tet flagship that formulation measured
+            # ~150 ms/cycle of coarse-chain stalls on-chip at P=1 vs
+            # the single-chip coarse chain's 1.6 ms — sp1 diags.)
+            # window_tile_order=False: the boundary ops (rwin/pwin
+            # plans, mg masks) address the coarse levels in the
+            # conditioned order — an internal interleave would permute
+            # the state under them. Costs only the coarse kernels'
+            # operand relayout (~8x smaller than the fine level).
+            import dataclasses as _dc2
+            dm = prepare_device_mesh(
+                no_recondition,
+                _dc2.replace(config, window_tile_order=False))
             dmesh_coarse = dm.levels
+            assert dm.node_orders is None
         self.dmesh_coarse = dmesh_coarse
+        # coarse-chain state layout: variable-major lane-padded exactly
+        # when the single-chip solver would be (state_is_transposed)
+        self._tc = bool(dmesh_coarse) and (
+            (config.transposed
+             or config.accumulate in ("pallas", "window"))
+            and all(l.shift is not None for l in dmesh_coarse))
 
         dtype = jnp.dtype(config.dtype)
         ff_q = jnp.asarray(np.asarray(far_field_state(np.float64)[0]), dtype)
@@ -799,6 +842,18 @@ class ShardedSolver:
                                 (P_, sl.block, 1)).reshape(
                     P_ * sl.block, NVAR)
 
+            def cinit(l):
+                n = (l.num_lanes or l.num_nodes) if self._tc \
+                    else l.num_nodes
+                v = jnp.tile(ff_q[None, :], (n, 1))
+                return v.T if self._tc else v
+
+            def czero(l):
+                n = (l.num_lanes or l.num_nodes) if self._tc \
+                    else l.num_nodes
+                shape = (NVAR, n) if self._tc else (n, NVAR)
+                return jnp.zeros(shape, dtype)
+
             self.state = {
                 "variables0": sblock(sd),
                 "residuals0": jnp.zeros((P_ * sd.block, NVAR), dtype),
@@ -806,10 +861,8 @@ class ShardedSolver:
                                  for sl in self.smesh.levels[1:]],
                 "residuals_sx": [jnp.zeros((P_ * sl.block, NVAR), dtype)
                                  for sl in self.smesh.levels[1:]],
-                "variables_c": [jnp.tile(ff_q[None, :], (l.num_nodes, 1))
-                                for l in dmesh_coarse],
-                "residuals_c": [jnp.zeros((l.num_nodes, NVAR), dtype)
-                                for l in dmesh_coarse],
+                "variables_c": [cinit(l) for l in dmesh_coarse],
+                "residuals_c": [czero(l) for l in dmesh_coarse],
             }
         legacy = mgmesh.variant.uses_legacy_step_factor
         self._cycle, self.wkernels = make_sharded_cycle_fn(
@@ -851,6 +904,8 @@ class ShardedSolver:
 
         def coarse_ext(a, i):
             v = np.asarray(a)
+            if self._tc:
+                v = v[:, :self.dmesh_coarse[i].num_nodes].T
             if self.part_invs is not None:
                 v = v[self.part_invs[S + i]]
             return v
@@ -889,6 +944,14 @@ class ShardedSolver:
                 a = a[self.part_orders[level]]
             return a
 
+        def coarse_in(a, i, current):
+            a = internal(a, S + i)
+            if not self._tc:
+                return jnp.asarray(a, dtype)
+            cur = np.array(current)                 # (5, num_lanes)
+            cur[:, :a.shape[0]] = np.asarray(a).T
+            return jnp.asarray(cur, dtype)
+
         for key, target in (("variables", "variables"),
                             ("residuals", "residuals")):
             blocks = [split(self.smesh.levels[i],
@@ -897,7 +960,7 @@ class ShardedSolver:
             self.state[target + "0"] = blocks[0]
             self.state[target + "_sx"] = blocks[1:]
             self.state[target + "_c"] = [
-                jnp.asarray(internal(a, S + i), dtype)
+                coarse_in(a, i, self.state[target + "_c"][i])
                 for i, a in enumerate(st[key][S:])]
 
     def run(self, cycles: int, verbose: bool = False):
@@ -996,6 +1059,8 @@ class ShardedSolver:
             return self._reassemble(
                 self._sharded_state("variables")[level], level)
         v = np.asarray(self.state["variables_c"][level - S])
+        if self._tc:
+            v = v[:, :self.dmesh_coarse[level - S].num_nodes].T
         if self.part_invs is not None:
             v = v[self.part_invs[level]]
         return v
