@@ -302,7 +302,13 @@ def _window_kernel(S, l_max, nch, math, complete, nw, local_x, linear,
     # weights are zero and their gather indices point at finite physical
     # state. Interpret mode (the CPU CI) keeps the fori_loop — the
     # unrolled graph is ~l_max x slower to trace and execute there.
-    if unroll:
+    if l_max == 0:
+        # an all-empty depth bucket (dest windows with no halves — e.g.
+        # a high-P sharded restrict where each shard covers ~1/P of the
+        # coarse space): write zeros; never touch the 0-size layer
+        # arrays (the interpret fori_loop would trace a 0-size read)
+        acc = (zero,) * 5
+    elif unroll:
         acc = (zero,) * 5
         for l in range(l_max):
             acc = body(l, acc)
@@ -406,7 +412,9 @@ def _window_fused_kernel(S, l_max, nch, nw, local_x, linear, unroll,
 
     zero = jnp.zeros((8, 128), jnp.float32 if bf16 else o_ref.dtype)
     # static unroll in compiled mode: see _window_kernel
-    if unroll:
+    if l_max == 0:
+        acc = (zero,) * 5
+    elif unroll:
         acc = (zero,) * 5
         for l in range(l_max):
             acc = body(l, acc)
@@ -611,19 +619,20 @@ class PallasWindowFusedStage:
                 (1, rows, 8, 128),
                 lambda w, *sc: (widx(w, *sc), 0, 0, 0))
 
+        lb = max(1, l_max_b)     # zero-depth buckets fetch one inert layer
         in_specs = [
             x_spec,
             # full-depth lwins block: S is the sublane dim (see
             # PallasWindowFlux._dispatch)
-            pl.BlockSpec((1, plan.l_max, S),
+            pl.BlockSpec((1, max(1, plan.l_max), S),
                          lambda w, *sc: (widx(w, *sc), 0, 0)),
-            pl.BlockSpec((1, l_max_b, 8, 128),
+            pl.BlockSpec((1, lb, 8, 128),
                          lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
-            pl.BlockSpec((1, l_max_b, 8, 128),
+            pl.BlockSpec((1, lb, 8, 128),
                          lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
-            pl.BlockSpec((1, l_max_b, 8, 128),
+            pl.BlockSpec((1, lb, 8, 128),
                          lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
-            pl.BlockSpec((1, l_max_b, nw, 8, 128),
+            pl.BlockSpec((1, lb, nw, 8, 128),
                          lambda w, *sc: (widx(w, *sc), 0, 0, 0, 0)),
             tspec(11),
             tspec(5),
@@ -867,20 +876,24 @@ class PallasWindowFlux:
                 (1, 5, 8, 128), lambda w, *sc: (widx(w, *sc), 0, 0, 0))
             out_shape = jax.ShapeDtypeStruct((plan.n_win, 5, 8, 128),
                                              self.dtype)
+        # a zero-depth bucket's kernel never reads the layer arrays
+        # (the l_max == 0 guard in the kernels), but a 0-size block dim
+        # is invalid — fetch one inert layer instead
+        lb = max(1, l_max_b)
         in_specs = [
             x_spec,
             # full-depth block: S lands in the sublane dim, so a
             # truncated depth violates Mosaic's 8-divisibility rule —
             # and the whole slab is l_max x S i32, not worth slicing
-            pl.BlockSpec((1, plan.l_max, S),
+            pl.BlockSpec((1, max(1, plan.l_max), S),
                          lambda w, *sc: (widx(w, *sc), 0, 0)),
-            pl.BlockSpec((1, l_max_b, 8, 128),
+            pl.BlockSpec((1, lb, 8, 128),
                          lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
-            pl.BlockSpec((1, l_max_b, 8, 128),
+            pl.BlockSpec((1, lb, 8, 128),
                          lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
-            pl.BlockSpec((1, l_max_b, 8, 128),
+            pl.BlockSpec((1, lb, 8, 128),
                          lambda w, *sc: (widx(w, *sc), 0, 0, 0)),
-            pl.BlockSpec((1, l_max_b, nw, 8, 128),
+            pl.BlockSpec((1, lb, nw, 8, 128),
                          lambda w, *sc: (widx(w, *sc), 0, 0, 0, 0)),
         ]
         args = [arrays["base"], arrays["nl"], arrays["own"]]

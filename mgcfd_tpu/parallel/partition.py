@@ -507,7 +507,7 @@ def _attach_window_plans(sl: ShardedLevelData, lvl: MeshLevel, P: int,
             plan_cache_dir, f"shardflux-p{p}of{P}",
             (o, nb, wcols, np.asarray([Bs, pool, kw, l_cap])), build))
 
-    l_max = max(pl.l_max for pl in plans)
+    l_max = max(1, max(pl.l_max for pl in plans))
     hs = max(1, max(pl.spill_a.shape[0] for pl in plans))
 
     def padl(a, target_l):
@@ -613,7 +613,7 @@ def _attach_prolong_window(sl: ShardedLevelData, lvl: MeshLevel,
             (o, nb, w, anchors[p], np.asarray([Bs, ncp, kw, l_cap])),
             build))
 
-    l_max = max(pl.l_max for pl in plans)
+    l_max = max(1, max(pl.l_max for pl in plans))
     hs = max(1, max(pl.spill_a.shape[0] for pl in plans))
 
     def padl(a, target_l):
@@ -710,7 +710,7 @@ def _attach_restrict_window(sl: ShardedLevelData, lvl: MeshLevel,
             (o, nb, w, anchors[p], np.asarray([Bs, ncp, kw, l_cap])),
             build))
 
-    l_max = max(pl.l_max for pl in plans)
+    l_max = max(1, max(pl.l_max for pl in plans))
     hs = max(1, max(pl.spill_a.shape[0] for pl in plans))
 
     def padl(a, target_l):
