@@ -203,7 +203,7 @@ def _use_stream_shift(sd, const, config) -> bool:
 
 
 def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
-                   config, wkernels=None):
+                   config, wkernels=None, tag=None):
     """One smoothing pass on the sharded finest level.
     variables: (B, NVAR) block at rest; the RK loop runs VARIABLE-MAJOR
     internally (ops/tops). With wkernels (accumulate=window/pallas) the
@@ -213,10 +213,13 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
     Returns (variables, old, res, invalid, rw_token)."""
     from ..ops import tops
 
+    from ..solver.solver import _kscope
+
     node_mask = const["node_mask"]
     old = variables
     q = variables.T                                     # (5, B)
-    sf = _sharded_step_factor(const, q, legacy)
+    with _kscope("compute_step", tag):
+        sf = _sharded_step_factor(const, q, legacy)
 
     invalid = jnp.int32(0)
     rw_token = jnp.zeros((), variables.dtype)
@@ -233,24 +236,27 @@ def _sharded_visit(sd, const, variables, ff_flux, legacy, dtype,
                 const["edge_w"])
             rw_token = rw_token + jnp.sum(crippled) * jnp.zeros(
                 (), variables.dtype)
-        if wkernels is not None:
-            flux_t = _window_flux_total(sd, const, q, wkernels)
-        else:
-            flux_t = _stream_flux_total(sd, const, q, ff_flux,
-                                        use_shift).T
-        q = tops.t_time_step(j, sf, flux_t, old_t)
+        with _kscope("flux", tag):
+            if wkernels is not None:
+                flux_t = _window_flux_total(sd, const, q, wkernels)
+            else:
+                flux_t = _stream_flux_total(sd, const, q, ff_flux,
+                                            use_shift).T
+        with _kscope("time_step", tag):
+            q = tops.t_time_step(j, sf, flux_t, old_t)
         invalid = invalid + invalid_variables_count(
             q.T * node_mask[:, None])
         if config.include_indirect_rw:
             # the data-movement twin, with the same halo traffic; its
             # accumulation is reduced to a token (writes discarded, as
             # in the reference's zero_fluxes after indirect_rw)
-            if wkernels is not None:
-                rw_token = rw_token + _window_rw_token(sd, const, q,
-                                                       wkernels)
-            else:
-                rw_token = rw_token + _stream_rw_token(sd, const, q,
-                                                       use_shift)
+            with _kscope("indirect_rw", tag):
+                if wkernels is not None:
+                    rw_token = rw_token + _window_rw_token(
+                        sd, const, q, wkernels)
+                else:
+                    rw_token = rw_token + _stream_rw_token(
+                        sd, const, q, use_shift)
 
     variables = q.T
     res = residual(old, variables)
@@ -614,6 +620,8 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
         (config.transposed or config.accumulate in ("pallas", "window"))
         and all(l.shift is not None for l in dmesh_coarse))
 
+    from ..solver.solver import _kscope as _ksc
+
     def cycle(const_sh, const_rep, state):
         # sharded constants arrive with a leading shard axis of size 1
         const_l = []
@@ -635,7 +643,7 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
             nonlocal invalid_total
             v, old, r, inv, _tok = _sharded_visit(
                 smesh.levels[i], const_l[i], v, ff_flux, legacy, dtype,
-                config, wkernels=wk_list[i])
+                config, wkernels=wk_list[i], tag=i)
             invalid_total = invalid_total + inv
             return v, r
 
@@ -658,13 +666,16 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
                 rms = jnp.sqrt(jax.lax.psum(sq, AXIS)
                                / smesh.levels[0].num_nodes)
             if i + 1 < S:
-                vars_s[i + 1] = _sharded_restrict_to_sharded(
-                    smesh.levels[i], const_l[i], vars_s[i],
-                    vars_s[i + 1], rkernel=rk_list[i])
+                with _ksc("restrict", i):
+                    vars_s[i + 1] = _sharded_restrict_to_sharded(
+                        smesh.levels[i], const_l[i], vars_s[i],
+                        vars_s[i + 1], rkernel=rk_list[i])
             elif L > S:
-                vars_c[0] = _sharded_restrict(
-                    smesh.levels[i], const_l[i], vars_s[i], vars_c[0],
-                    rkernel=rk_list[i], coarse_transposed=tc)
+                with _ksc("restrict", i):
+                    vars_c[0] = _sharded_restrict(
+                        smesh.levels[i], const_l[i], vars_s[i],
+                        vars_c[0], rkernel=rk_list[i],
+                        coarse_transposed=tc)
 
         C = L - S                       # replicated level count
         if C > 0:
@@ -700,10 +711,11 @@ def make_sharded_cycle_fn(smesh: ShardedMeshData, dmesh_coarse,
                         smesh.levels[i + 1], const_l[i], res_s[i + 1])
                 else:
                     res_above = res_c[0]
-                vars_s[i] = _sharded_prolong(
-                    smesh.levels[i], const_l[i], res_above, res_s[i],
-                    vars_s[i], pkernel=pk_list[i],
-                    coarse_transposed=(i + 1 == S and tc))
+                with _ksc("prolong", i):
+                    vars_s[i] = _sharded_prolong(
+                        smesh.levels[i], const_l[i], res_above,
+                        res_s[i], vars_s[i], pkernel=pk_list[i],
+                        coarse_transposed=(i + 1 == S and tc))
                 if i > 0:
                     vars_s[i], res_s[i] = visit_sharded(i, vars_s[i])
 

@@ -503,3 +503,19 @@ def test_partition_order_2d_properties():
         hi_of_chunk = xr[order[(i + 1) * Py * B - 1 - (0)]]
         lo_next = min(xr[order[(i + 1) * Py * B:(i + 2) * Py * B]])
         assert max(xr[order[i * Py * B:(i + 1) * Py * B]]) < lo_next
+
+
+def test_sharded_measure_production():
+    """measure_production attributes per-(kernel, level) device time for
+    the SHARDED one-jit cycle too (named scopes in _sharded_visit +
+    the boundary transfers)."""
+    from mgcfd_tpu.monitor.opstats import measure_production
+
+    mesh = generate_multigrid_box(10, 8, 8, 2, h=(0.1, 0.1, 0.1))
+    sh = ShardedSolver(mesh, SolverConfig(dtype="float64",
+                                          num_partitions=2))
+    sh.run(1)
+    m = measure_production(sh, cycles=1)
+    kernels = {k for k, _ in m}
+    assert {"flux", "compute_step", "restrict", "prolong"} <= kernels
+    assert all(v["time_us"] > 0 for v in m.values())
