@@ -140,7 +140,10 @@ def test_sharded_rolled_shift_uses_wpad():
 
 
 @pytest.mark.skipif(NDEV < 4, reason="needs 4 virtual devices")
-@pytest.mark.parametrize("acc", ["pallas", "window"])
+@pytest.mark.parametrize("acc", [
+    pytest.param("pallas", marks=pytest.mark.slow),
+    "window",
+])
 def test_sharded_with_padded_kernel_modes(acc):
     """Regression (round-2 review): accumulate=pallas/window lane-pads
     coarse-level constants, but the sharded solver's replicated coarse
