@@ -28,6 +28,11 @@ K = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 if WHICH == "tet":
     mesh = pickle.load(open(".golden/benchtet/mesh.pkl", "rb"))
     plans = ".golden/benchtet/plans"
+elif WHICH == "bigbox":
+    from mgcfd_tpu.bench.flagship import FlagshipSpec, flagship_mesh
+    mesh = flagship_mesh(FlagshipSpec(nx=136, ny=128, nz=140,
+                                      num_levels=4))
+    plans = ".golden/bigmesh/plans"
 else:
     from mgcfd_tpu.bench import flagship_mesh
     mesh = flagship_mesh()
